@@ -1,0 +1,73 @@
+"""algebraicmultigrid_tpu — a TPU-native algebraic multigrid framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+``JuliaLinearAlgebra/AlgebraicMultigrid.jl`` (reference mounted read-only at
+``/root/reference``; structural analysis in ``SURVEY.md``).  Not a port: the
+run-once hierarchy setup executes as vectorised host kernels (numpy/scipy,
+with native C++ acceleration for the sequential graph algorithms), while the
+solve hot path runs as jitted static-shape JAX on padded ELL sparse levels —
+with multicolor relaxation replacing sequential Gauss-Seidel, device-resident
+dense coarse solves, and ``shard_map`` row-partitioned distribution across a
+TPU mesh.
+
+Public API mirrors the reference's names and defaults (survey §2, §5.6).
+"""
+
+from .config import (
+    BackwardSweep,
+    Cycle,
+    F,
+    ForwardSweep,
+    GaussSeidel,
+    Jacobi,
+    SOR,
+    Sweep,
+    SymmetricSweep,
+    V,
+    W,
+)
+from .models.aggregate import StandardAggregation
+from .models.aggregation import fit_candidates, smoothed_aggregation
+from .models.classical import ruge_stuben
+from .models.coarse import Pinv, QRSolver
+from .models.gallery import poisson, stencil_grid
+from .models.interpolation import direct_interpolation
+from .models.multilevel import Level, MultiLevel, solve_mg
+from .models.prolongation_smooth import JacobiProlongation
+from .models.splitting import RS, rs_cf_splitting
+from .models.strength import Classical, SymmetricStrength
+from .models.preconditioner import Preconditioner, aspreconditioner
+from .models.api import (
+    AMGSolver,
+    RugeStubenAMG,
+    SmoothedAggregationAMG,
+    init,
+    solve,
+)
+from .ops.krylov import cg
+from .utils.arnoldi import approximate_spectral_radius
+from .utils.symmetry import HermitianSymmetry, NoSymmetry
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # cycles & sweeps
+    "Cycle", "V", "W", "F", "Sweep", "SymmetricSweep", "ForwardSweep", "BackwardSweep",
+    # smoothers
+    "GaussSeidel", "Jacobi", "SOR",
+    # strength / splitting / aggregation
+    "Classical", "SymmetricStrength", "RS", "rs_cf_splitting",
+    "StandardAggregation", "fit_candidates", "JacobiProlongation",
+    "direct_interpolation",
+    # hierarchy
+    "ruge_stuben", "smoothed_aggregation", "Level", "MultiLevel", "solve_mg",
+    # coarse solvers
+    "Pinv", "QRSolver",
+    # preconditioner / Krylov
+    "Preconditioner", "aspreconditioner", "cg",
+    # CommonSolve-style API
+    "AMGSolver", "RugeStubenAMG", "SmoothedAggregationAMG", "solve", "init",
+    # gallery & utils
+    "poisson", "stencil_grid", "approximate_spectral_radius",
+    "HermitianSymmetry", "NoSymmetry",
+]

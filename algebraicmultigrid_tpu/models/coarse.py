@@ -1,0 +1,81 @@
+"""Coarse-level dense solvers.
+
+Parity with ``/root/reference/src/coarse_solver.jl``: a coarse solver is
+constructed from the final-level matrix and called as ``cs(x, b)``
+(coarse_solver.jl:2).  The coarse grid is tiny (≤ max_coarse, default 10) and
+dense-factorised once at setup; on device the apply is a replicated dense
+triangular-solve / matmul — the TPU-native equivalent of the reference's
+replicated direct solve (survey §7).
+
+* :class:`Pinv` — Moore-Penrose pseudo-inverse; handles **singular** coarse
+  operators (semidefinite graph Laplacians, no-NNS elasticity;
+  coarse_solver.jl:9-16).
+* :class:`QRSolver` — QR factorisation with per-RHS backsubstitution
+  (coarse_solver.jl:66-81); the default (coarse_solver.jl:84).  If R is
+  numerically rank-deficient we fall back to the pseudo-inverse apply, which
+  matches Julia's rank-revealing sparse QR behaviour on singular inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+import scipy.sparse as sp
+
+__all__ = ["CoarseSolver", "Pinv", "QRSolver", "default_coarse_solver"]
+
+
+def _dense(A) -> np.ndarray:
+    return A.toarray() if sp.issparse(A) else np.asarray(A)
+
+
+class CoarseSolver:
+    """Callable protocol: ``cs(x, b)`` fills x in place; ``cs.apply(b)``
+    returns the solution functionally (device-friendly form)."""
+
+    def __call__(self, x, b):
+        x[...] = self.apply(b)
+        return x
+
+    def apply(self, b):
+        raise NotImplementedError
+
+
+class Pinv(CoarseSolver):
+    def __init__(self, A):
+        self.pinvA = np.linalg.pinv(_dense(A))
+
+    def apply(self, b):
+        return self.pinvA @ b
+
+    def __repr__(self):
+        return "Pinv"
+
+
+class QRSolver(CoarseSolver):
+    def __init__(self, A):
+        M = _dense(A)
+        self.Q, self.R = np.linalg.qr(M)
+        rdiag = np.abs(np.diag(self.R)) if self.R.size else np.zeros(0)
+        scale = rdiag.max() if rdiag.size else 0.0
+        n = M.shape[0]
+        self._singular = (
+            M.shape[0] != M.shape[1]
+            or rdiag.size == 0
+            or (rdiag < max(M.shape) * np.finfo(M.dtype if M.dtype.kind in "fc" else np.float64).eps * max(scale, 1e-300)).any()
+        )
+        self.pinvA = np.linalg.pinv(M) if self._singular else None
+
+    def apply(self, b):
+        if self._singular:
+            return self.pinvA @ b
+        y = self.Q.conj().T @ b
+        return scipy.linalg.solve_triangular(self.R, y, lower=False)
+
+    def __repr__(self):
+        return "QRSolver"
+
+
+def default_coarse_solver(A):
+    """Pick the default coarse-solver factory (coarse_solver.jl:84)."""
+    return QRSolver
