@@ -44,7 +44,7 @@ from ..config import (
     V,
     W,
 )
-from ..ops.coloring import jp_coloring
+from ..ops.coloring import graph_coloring
 from ..ops.sparse import ELL, ell_from_csr, round_up
 from ..ops.spmv import ell_spmv
 from .coarse import Pinv, QRSolver
@@ -271,7 +271,7 @@ def _build_smoother_cache(config, A_csr, A_ell: ELL, dtype):
 
 def _build_multicolor_cache(A_csr, A_ell: ELL, dtype, omega, iters, fwd, bwd):
     n = A_csr.shape[0]
-    colors = jp_coloring(A_csr)
+    colors = graph_coloring(A_csr)
     diag = A_csr.diagonal()
     active = diag != 0  # zero-diag rows frozen
     n_colors = int(colors.max()) + 1 if n else 1
@@ -337,8 +337,11 @@ def _build_coarse_cache(ml: MultiLevel, dtype, rows_padded: int) -> CoarseCache:
     )
 
 
-def build_device_hierarchy(ml: MultiLevel, dtype=None) -> DeviceHierarchy:
-    """Lower a host hierarchy to the static-shape device pytree."""
+def build_device_hierarchy(ml: MultiLevel, dtype=None, row_pad: int = 8) -> DeviceHierarchy:
+    """Lower a host hierarchy to the static-shape device pytree.
+
+    ``row_pad`` pads every level's row space (8 = f32 sublane; the parallel
+    tier passes ``8·n_shards`` so row-sharding divides evenly)."""
     if dtype is None:
         dtype = jnp.asarray(np.zeros(0, dtype=ml.dtype)).dtype
     dtype = jnp.dtype(dtype)
@@ -346,11 +349,11 @@ def build_device_hierarchy(ml: MultiLevel, dtype=None) -> DeviceHierarchy:
     dev_levels = []
     pad_of_level = []  # rows_padded of each level's row space
     for level in ml.levels:
-        A_ell = ell_from_csr(level.A, dtype=dtype)
+        A_ell = ell_from_csr(level.A, dtype=dtype, row_pad=row_pad)
         pad_of_level.append(A_ell.rows_padded)
         dev_levels.append((level, A_ell))
 
-    final_pad = round_up(max(ml.final_A.shape[0], 1), 8)
+    final_pad = round_up(max(ml.final_A.shape[0], 1), row_pad)
     pad_of_level.append(final_pad)
 
     out = []

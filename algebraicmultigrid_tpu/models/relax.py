@@ -35,7 +35,7 @@ import scipy.sparse as sp
 from scipy.sparse.linalg import spsolve_triangular
 
 from ..config import BackwardSweep, ForwardSweep, GaussSeidel, Jacobi, SOR, SymmetricSweep
-from ..ops.coloring import jp_coloring
+from ..ops.coloring import graph_coloring
 from ..ops.sparse import as_csr
 from ..utils.symmetry import HermitianSymmetry, NoSymmetry
 
@@ -133,7 +133,7 @@ class _MulticolorSweeper(HostSmoother):
     def __post_init__(self):
         A = self.A
         if self.colors is None:
-            self.colors = jp_coloring(A)
+            self.colors = graph_coloring(A)
         n_colors = int(self.colors.max()) + 1 if self.colors.size else 0
         d = A.diagonal()
         self._groups = []

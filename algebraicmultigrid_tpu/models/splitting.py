@@ -69,6 +69,21 @@ def rs_cf_splitting(S: sp.csc_matrix, T: sp.csc_matrix) -> np.ndarray:
     Sp, Sj = S.indptr, S.indices
     Tp, Tj = T.indptr, T.indices
 
+    from ..native.build import as_i64_ptr, get_native
+
+    lib = get_native()
+    if lib is not None:
+        Sp64 = np.ascontiguousarray(Sp, dtype=np.int64)
+        Sj64 = np.ascontiguousarray(Sj, dtype=np.int64)
+        Tp64 = np.ascontiguousarray(Tp, dtype=np.int64)
+        Tj64 = np.ascontiguousarray(Tj, dtype=np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        lib.rs_cf_splitting(
+            n, as_i64_ptr(Sp64), as_i64_ptr(Sj64),
+            as_i64_ptr(Tp64), as_i64_ptr(Tj64), as_i64_ptr(out),
+        )
+        return out
+
     lam = np.diff(Sp).astype(np.int64)  # λ(i) = |column i of S|
 
     # Bucket sort nodes by λ. interval_ptr[k] = start slot of bucket λ=k.

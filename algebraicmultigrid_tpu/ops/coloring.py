@@ -19,7 +19,35 @@ import scipy.sparse as sp
 
 from .sparse import as_csr
 
-__all__ = ["jp_coloring"]
+__all__ = ["graph_coloring", "jp_coloring", "greedy_coloring_native"]
+
+
+def greedy_coloring_native(A):
+    """Natural-order greedy coloring via the C++ kernel; None if unavailable."""
+    from ..native.build import as_i32_ptr, as_i64_ptr, get_native
+
+    lib = get_native()
+    if lib is None:
+        return None
+    M = as_csr(A)
+    n = M.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    G = (M + M.T).tocsr()
+    Gp = np.ascontiguousarray(G.indptr, dtype=np.int64)
+    Gj = np.ascontiguousarray(G.indices, dtype=np.int64)
+    colors = np.zeros(n, dtype=np.int32)
+    lib.greedy_coloring(n, as_i64_ptr(Gp), as_i64_ptr(Gj), as_i32_ptr(colors))
+    return colors
+
+
+def graph_coloring(A, seed: int = 0) -> np.ndarray:
+    """Default coloring: native natural-order greedy (fewest colors, C speed)
+    with the vectorised Jones-Plassmann numpy tier as fallback."""
+    colors = greedy_coloring_native(A)
+    if colors is not None:
+        return colors
+    return jp_coloring(A, seed=seed)
 
 
 def jp_coloring(A, seed: int = 0, max_rounds: int = 10_000) -> np.ndarray:

@@ -1,0 +1,6 @@
+from .dist import (
+    build_sharded_hierarchy,
+    make_row_mesh,
+    shard_hierarchy,
+    solve_sharded,
+)

@@ -1,0 +1,79 @@
+"""Multi-chip equivalence on the 8-virtual-device CPU mesh (survey §4 end
+note): sharded hierarchy solves must match the single-device engine."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import algebraicmultigrid_tpu as amg
+from algebraicmultigrid_tpu.parallel import make_row_mesh, solve_sharded
+
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_devices
+@pytest.mark.multichip
+def test_sharded_spmv_matches():
+    from algebraicmultigrid_tpu.ops.sparse import ell_from_csr
+    from algebraicmultigrid_tpu.ops.spmv import ell_spmv
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import dataclasses
+
+    mesh = make_row_mesh(8)
+    A = amg.poisson((32, 32))
+    E = ell_from_csr(A, dtype=np.float64, row_pad=64)
+    rs = np.random.RandomState(0)
+    x = rs.rand(A.shape[0])
+
+    y_single = np.asarray(ell_spmv(E, jax.numpy.asarray(x)))[: A.shape[0]]
+
+    s = NamedSharding(mesh, P("shards", None))
+    E_sh = dataclasses.replace(
+        E, data=jax.device_put(E.data, s), cols=jax.device_put(E.cols, s)
+    )
+    xs = jax.device_put(
+        jax.numpy.asarray(np.pad(x, (0, E.rows_padded - x.size))),
+        NamedSharding(mesh, P("shards")),
+    )
+    y_sh = np.asarray(jax.jit(ell_spmv)(E_sh, xs))[: A.shape[0]]
+    assert np.allclose(y_sh, y_single, atol=1e-13)
+    assert np.allclose(y_sh, A @ x, atol=1e-12)
+
+
+@needs_devices
+@pytest.mark.multichip
+def test_sharded_solve_matches_single_device():
+    mesh = make_row_mesh(8)
+    A = amg.poisson((48, 48))
+    n = A.shape[0]
+    b = A @ np.ones(n)
+    gs = amg.GaussSeidel(ordering="multicolor")
+    ml = amg.ruge_stuben(A, presmoother=gs, postsmoother=gs)
+
+    x_sh, iters, normres = solve_sharded(
+        ml, b, amg.V(), mesh=mesh, reltol=1e-8, replicate_below=1024
+    )
+    assert normres <= 1e-8 * np.linalg.norm(b)
+
+    x_1, res_1 = ml.solve(b, amg.V(), engine="jax", reltol=1e-8, log=True)
+    assert iters == len(res_1) - 1
+    assert np.allclose(x_sh, x_1, atol=1e-10)
+
+
+@needs_devices
+@pytest.mark.multichip
+def test_sharded_sa_w_cycle():
+    mesh = make_row_mesh(8)
+    A = amg.poisson((32, 32))
+    b = A @ np.ones(A.shape[0])
+    jac = amg.Jacobi(0.6, iter=2)
+    ml = amg.smoothed_aggregation(A, presmoother=jac, postsmoother=jac)
+    x_sh, iters, normres = solve_sharded(
+        ml, b, amg.W(), mesh=mesh, reltol=1e-8, replicate_below=512
+    )
+    assert normres <= 1e-8 * np.linalg.norm(b)
+    assert np.allclose(x_sh, 1.0, atol=1e-5)
