@@ -39,6 +39,7 @@ from ..models.device import (
     DeviceHierarchy,
     DeviceLevel,
     JacobiCache,
+    MaskedMulticolorCache,
     MulticolorCache,
     ScanGSCache,
     _pad_to,
@@ -46,6 +47,7 @@ from ..models.device import (
     build_device_hierarchy,
 )
 from ..models.multilevel import MultiLevel
+from ..ops.banded import DenseOp, SDIA
 from ..ops.sparse import ELL
 
 __all__ = [
@@ -65,12 +67,22 @@ def make_row_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return jax.sharding.Mesh(np.array(devices), ("shards",))
 
 
-def _shard_ell(E: ELL, mesh: Mesh, *, replicate: bool = False) -> ELL:
-    spec = P() if replicate else P("shards", None)
-    s = NamedSharding(mesh, spec)
-    return dataclasses.replace(
-        E, data=jax.device_put(E.data, s), cols=jax.device_put(E.cols, s)
-    )
+def _shard_ell(E, mesh: Mesh, *, replicate: bool = False):
+    """Row-block shard any device operator format."""
+    rep = NamedSharding(mesh, P())
+    if isinstance(E, ELL):
+        s = rep if replicate else NamedSharding(mesh, P("shards", None))
+        return dataclasses.replace(
+            E, data=jax.device_put(E.data, s), cols=jax.device_put(E.cols, s)
+        )
+    if isinstance(E, SDIA):
+        # data is [n_offsets, rows_padded] → shard the row axis
+        s = rep if replicate else NamedSharding(mesh, P(None, "shards"))
+        return dataclasses.replace(E, data=jax.device_put(E.data, s))
+    if isinstance(E, DenseOp):
+        s = rep if replicate else NamedSharding(mesh, P("shards", None))
+        return dataclasses.replace(E, mat=jax.device_put(E.mat, s))
+    return E
 
 
 def _shard_smoother(cache, mesh: Mesh, sharded_rows: bool):
@@ -89,6 +101,13 @@ def _shard_smoother(cache, mesh: Mesh, sharded_rows: bool):
             data=jax.device_put(cache.data, rep),
             cols=jax.device_put(cache.cols, rep),
             dinv=jax.device_put(cache.dinv, rep),
+        )
+    if isinstance(cache, MaskedMulticolorCache):
+        s = NamedSharding(mesh, row_spec)
+        return dataclasses.replace(
+            cache,
+            color_of=jax.device_put(cache.color_of, s),
+            dinv=jax.device_put(cache.dinv, s),
         )
     if isinstance(cache, ScanGSCache):
         return dataclasses.replace(
