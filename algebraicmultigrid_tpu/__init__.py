@@ -35,6 +35,7 @@ from .models.interpolation import direct_interpolation
 from .models.multilevel import Level, MultiLevel, solve_mg
 from .models.prolongation_smooth import JacobiProlongation
 from .models.splitting import RS, rs_cf_splitting
+from .models.structured import StructuredRS
 from .models.strength import Classical, SymmetricStrength
 from .models.preconditioner import Preconditioner, aspreconditioner
 from .models.api import (
@@ -56,7 +57,7 @@ __all__ = [
     # smoothers
     "GaussSeidel", "Jacobi", "SOR",
     # strength / splitting / aggregation
-    "Classical", "SymmetricStrength", "RS", "rs_cf_splitting",
+    "Classical", "SymmetricStrength", "RS", "StructuredRS", "rs_cf_splitting",
     "StandardAggregation", "fit_candidates", "JacobiProlongation",
     "direct_interpolation",
     # hierarchy

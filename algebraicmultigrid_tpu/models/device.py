@@ -44,7 +44,7 @@ from ..config import (
     V,
     W,
 )
-from ..ops.banded import DenseOp, SDIA, dense_from_csr, mat_vec, sdia_from_csr
+from ..ops.banded import BTOp, DenseOp, SDIA, bt_from_csr, dense_from_csr, mat_vec, sdia_from_csr
 from ..ops.coloring import graph_coloring
 from ..ops.sparse import ELL, ell_from_csr, round_up
 from ..ops.spmv import ell_spmv
@@ -443,9 +443,15 @@ def build_device_hierarchy(
         """Pick the fastest representation: SDIA (gather-free strided bands)
         → Dense (small, one MXU matmul) → ELL (gather fallback)."""
         if not force_ell:
-            S = sdia_from_csr(M, dtype=dtype, row_pad=target_pad)
+            # smaller levels tolerate wider diagonal sets (padding overhead
+            # is bounded separately by max_overhead)
+            mo = 40 if max(M.shape) > 100_000 else 96
+            S = sdia_from_csr(M, dtype=dtype, row_pad=target_pad, max_offsets=mo, max_overhead=8.0)
             if S is not None:
                 return S
+            B = bt_from_csr(M, dtype=dtype, row_pad=target_pad)
+            if B is not None:
+                return B
             if max(M.shape) <= dense_threshold:
                 return dense_from_csr(M, dtype=dtype, row_pad=target_pad)
         return ell_from_csr(M, dtype=dtype, row_pad=target_pad)
