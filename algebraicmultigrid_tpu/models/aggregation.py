@@ -230,17 +230,14 @@ def _extend_hierarchy_sa(
     # 6. Galerkin product
     RAP = as_csc((R @ (A_csr @ P)).tocsc())
 
-    pre = setup_smoother_host(presmoother, A_csr, symmetry)
-    post = setup_smoother_host(postsmoother, A_csr, symmetry)
     levels.append(
         Level(
             A=A_csr,
             P=as_csr(P),
             R=R,
-            presmoother=pre,
-            postsmoother=post,
             presmoother_config=presmoother,
             postsmoother_config=postsmoother,
+            symmetry=symmetry,
         )
     )
     return RAP, B_coarse, True, False

@@ -22,7 +22,6 @@ from ..utils.symmetry import HermitianSymmetry, NoSymmetry
 from .coarse import default_coarse_solver
 from .interpolation import direct_interpolation
 from .multilevel import Level, MultiLevel
-from .relax import setup_smoother_host
 from .splitting import RS
 from .strength import Classical
 
@@ -80,17 +79,14 @@ def _extend_hierarchy_rs(levels, strength, CF, A, presmoother, postsmoother, sym
     RAP = as_csc((R @ (A @ P)).tocsc())
 
     A_csr = as_csr(A)
-    pre = setup_smoother_host(presmoother, A_csr, symmetry)
-    post = setup_smoother_host(postsmoother, A_csr, symmetry)
     levels.append(
         Level(
             A=A_csr,
             P=as_csr(P),
             R=as_csr(R),
-            presmoother=pre,
-            postsmoother=post,
             presmoother_config=presmoother,
             postsmoother_config=postsmoother,
+            symmetry=symmetry,
         )
     )
     return RAP, False

@@ -304,7 +304,7 @@ def _apply_smoother(cache, A, x, b):
 # --------------------------------------------------------------------------
 
 
-def _build_smoother_cache(config, A_csr, A_dev, dtype, colors=None):
+def _build_smoother_cache(config, A_csr, A_dev, dtype, colors=None, sym=False):
     rows_padded = A_dev.rows_padded
     d = np.zeros(rows_padded, dtype=dtype)
     d[: A_csr.shape[0]] = A_csr.diagonal().astype(dtype)
@@ -319,9 +319,9 @@ def _build_smoother_cache(config, A_csr, A_dev, dtype, colors=None):
         bwd = isinstance(config.sweep, (BackwardSweep, SymmetricSweep))
         if config.ordering == "multicolor":
             if isinstance(A_dev, ELL):
-                return _build_multicolor_cache(A_csr, A_dev, dtype, omega, config.iter, fwd, bwd)
+                return _build_multicolor_cache(A_csr, A_dev, dtype, omega, config.iter, fwd, bwd, sym=sym)
             return _build_masked_multicolor_cache(
-                A_csr, rows_padded, dtype, omega, config.iter, fwd, bwd, colors
+                A_csr, rows_padded, dtype, omega, config.iter, fwd, bwd, colors, sym=sym
             )
         if not isinstance(A_dev, ELL):
             raise TypeError("natural-order GS requires the ELL device format")
@@ -331,10 +331,10 @@ def _build_smoother_cache(config, A_csr, A_dev, dtype, colors=None):
     raise TypeError(f"unknown smoother config {config!r}")
 
 
-def _build_masked_multicolor_cache(A_csr, rows_padded, dtype, omega, iters, fwd, bwd, colors=None):
+def _build_masked_multicolor_cache(A_csr, rows_padded, dtype, omega, iters, fwd, bwd, colors=None, sym=False):
     n = A_csr.shape[0]
     if colors is None:
-        colors = graph_coloring(A_csr)
+        colors = graph_coloring(A_csr, assume_symmetric=sym)
     diag = A_csr.diagonal()
     n_colors = int(colors.max()) + 1 if n else 1
     color_of = np.full(rows_padded, n_colors, dtype=np.int32)
@@ -353,9 +353,9 @@ def _build_masked_multicolor_cache(A_csr, rows_padded, dtype, omega, iters, fwd,
     )
 
 
-def _build_multicolor_cache(A_csr, A_ell: ELL, dtype, omega, iters, fwd, bwd):
+def _build_multicolor_cache(A_csr, A_ell: ELL, dtype, omega, iters, fwd, bwd, sym=False):
     n = A_csr.shape[0]
-    colors = graph_coloring(A_csr)
+    colors = graph_coloring(A_csr, assume_symmetric=sym)
     diag = A_csr.diagonal()
     active = diag != 0  # zero-diag rows frozen
     n_colors = int(colors.max()) + 1 if n else 1
@@ -471,8 +471,9 @@ def build_device_hierarchy(
         # P maps coarse → this level's rows; R maps this level → coarse rows.
         P_dev = lower(level.P, pad_of_level[i])
         R_dev = lower(level.R, pad_of_level[i + 1])
-        pre = _build_smoother_cache(level.presmoother_config, level.A, A_dev, dtype)
-        post = _build_smoother_cache(level.postsmoother_config, level.A, A_dev, dtype)
+        sym_hint = type(ml.symmetry).__name__ == "HermitianSymmetry"
+        pre = _build_smoother_cache(level.presmoother_config, level.A, A_dev, dtype, sym=sym_hint)
+        post = _build_smoother_cache(level.postsmoother_config, level.A, A_dev, dtype, sym=sym_hint)
         out.append(DeviceLevel(A=A_dev, P=P_dev, R=R_dev, pre=pre, post=post))
 
     coarse = _build_coarse_cache(ml, dtype, final_pad)

@@ -52,11 +52,17 @@ def direct_interpolation(At: sp.csc_matrix, T: sp.csc_matrix, splitting: np.ndar
     strong_C = is_C[t_rows]
 
     # Σ strong-pos / strong-neg per column over C entries (classical.jl:107-119)
+    def _segsum(mask, vals, idx):
+        if np.iscomplexobj(vals):
+            return (
+                np.bincount(idx[mask], weights=vals.real[mask], minlength=n)
+                + 1j * np.bincount(idx[mask], weights=vals.imag[mask], minlength=n)
+            ).astype(dtype)
+        return np.bincount(idx[mask], weights=vals[mask], minlength=n).astype(dtype)
+
     neg_mask = np.real(sval) < 0
-    sum_strong_neg = np.zeros(n, dtype=dtype)
-    sum_strong_pos = np.zeros(n, dtype=dtype)
-    np.add.at(sum_strong_neg, t_cols[strong_C & neg_mask], sval[strong_C & neg_mask])
-    np.add.at(sum_strong_pos, t_cols[strong_C & ~neg_mask], sval[strong_C & ~neg_mask])
+    sum_strong_neg = _segsum(strong_C & neg_mask, sval, t_cols)
+    sum_strong_pos = _segsum(strong_C & ~neg_mask, sval, t_cols)
 
     # Σ all-pos / all-neg / diag per column of At (classical.jl:120-135)
     a_cols = np.repeat(np.arange(n), np.diff(At.indptr))
@@ -64,14 +70,18 @@ def direct_interpolation(At: sp.csc_matrix, T: sp.csc_matrix, splitting: np.ndar
     aval = At.data
     a_diag_mask = a_rows == a_cols
     a_neg = np.real(aval) < 0
-    diag = np.zeros(n, dtype=dtype)
-    sum_all_neg = np.zeros(n, dtype=dtype)
-    sum_all_pos = np.zeros(n, dtype=dtype)
-    np.add.at(diag, a_cols[a_diag_mask], aval[a_diag_mask])
-    m_neg = (~a_diag_mask) & a_neg
-    m_pos = (~a_diag_mask) & ~a_neg
-    np.add.at(sum_all_neg, a_cols[m_neg], aval[m_neg])
-    np.add.at(sum_all_pos, a_cols[m_pos], aval[m_pos])
+
+    def _segsum_a(mask):
+        if np.iscomplexobj(aval):
+            return (
+                np.bincount(a_cols[mask], weights=aval.real[mask], minlength=n)
+                + 1j * np.bincount(a_cols[mask], weights=aval.imag[mask], minlength=n)
+            ).astype(dtype)
+        return np.bincount(a_cols[mask], weights=aval[mask], minlength=n).astype(dtype)
+
+    diag = _segsum_a(a_diag_mask)
+    sum_all_neg = _segsum_a((~a_diag_mask) & a_neg)
+    sum_all_pos = _segsum_a((~a_diag_mask) & ~a_neg)
 
     # Fallback lumping (classical.jl:137-154): order matters — the β branch
     # may modify diag before the α branch does.

@@ -34,15 +34,52 @@ from .coarse import CoarseSolver
 __all__ = ["Level", "MultiLevel", "solve_mg"]
 
 
-@dataclasses.dataclass
 class Level:
-    A: sp.csr_matrix
-    P: sp.csr_matrix
-    R: sp.csr_matrix
-    presmoother: Any  # host smoother cache
-    postsmoother: Any
-    presmoother_config: Any = None
-    postsmoother_config: Any = None
+    """One hierarchy level: operator + transfer pair + smoothers.
+
+    Host smoother caches are built lazily on first host-engine use — the
+    device engine builds its own caches, so device-only flows never pay for
+    the host triangular/multicolor setup.
+    """
+
+    def __init__(
+        self,
+        A: sp.csr_matrix,
+        P: sp.csr_matrix,
+        R: sp.csr_matrix,
+        presmoother: Any = None,
+        postsmoother: Any = None,
+        presmoother_config: Any = None,
+        postsmoother_config: Any = None,
+        symmetry: Any = None,
+    ):
+        self.A = A
+        self.P = P
+        self.R = R
+        self._pre_cache = presmoother
+        self._post_cache = postsmoother
+        self.presmoother_config = presmoother_config
+        self.postsmoother_config = postsmoother_config
+        self.symmetry = symmetry
+
+    def _build(self, config):
+        from ..utils.symmetry import HermitianSymmetry
+        from .relax import setup_smoother_host
+
+        sym = self.symmetry if self.symmetry is not None else HermitianSymmetry()
+        return setup_smoother_host(config, self.A, sym)
+
+    @property
+    def presmoother(self):
+        if self._pre_cache is None:
+            self._pre_cache = self._build(self.presmoother_config)
+        return self._pre_cache
+
+    @property
+    def postsmoother(self):
+        if self._post_cache is None:
+            self._post_cache = self._build(self.postsmoother_config)
+        return self._post_cache
 
     def __repr__(self):
         return (

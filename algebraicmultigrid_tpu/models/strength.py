@@ -44,11 +44,25 @@ def _segment_max(values: np.ndarray, seg: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _colmax_csc(values: np.ndarray, indptr: np.ndarray) -> np.ndarray:
+    """Per-column max over CSC segments, identity 0 (fast reduceat path)."""
+    n = len(indptr) - 1
+    out = np.zeros(n, dtype=values.dtype)
+    counts = np.diff(indptr)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return out
+    starts = indptr[:-1][nonempty]
+    res = np.maximum.reduceat(values, starts)
+    out[nonempty] = np.maximum(res, 0)
+    return out
+
+
 def _scale_cols_by_largest_entry(M: sp.csc_matrix) -> sp.csc_matrix:
     """Divide every column by its largest (signed, floored at 0) stored entry
     — strength.jl:61-70."""
+    m = _colmax_csc(M.data, M.indptr)
     cols = _col_ids(M)
-    m = _segment_max(M.data, cols, M.shape[1])
     with np.errstate(divide="ignore", invalid="ignore"):
         M.data = M.data / m[cols]
     return M
@@ -75,7 +89,7 @@ class Classical:
         off_diag = rows != cols
 
         absval = np.abs(T.data)
-        max_off = _segment_max(np.where(off_diag, absval, 0.0), cols, T.shape[1])
+        max_off = _colmax_csc(np.where(off_diag, absval, 0.0), T.indptr)
         threshold = self.theta * max_off
 
         keep = absval >= threshold[cols]
@@ -115,11 +129,10 @@ class SymmetricStrength:
         cols = _col_ids(S)
         rows = S.indices
 
-        # diags[i] = |Σ diagonal entries of column i| (strength.jl:91-101).
-        diag_sum = np.zeros(A.shape[1], dtype=A.data.dtype)
+        # diags[i] = |Σ diagonal entries of column i| (strength.jl:91-101);
+        # canonical CSC has deduplicated entries so .diagonal() is the sum.
+        diags = np.abs(S.diagonal())
         on_diag = rows == cols
-        np.add.at(diag_sum, cols[on_diag], S.data[on_diag])
-        diags = np.abs(diag_sum)
 
         drop = (~on_diag) & (S.data**2 < (self.theta**2) * diags[cols] * diags[rows])
         S.data = np.where(drop, 0.0, S.data)

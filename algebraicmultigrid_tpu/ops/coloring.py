@@ -22,7 +22,7 @@ from .sparse import as_csr
 __all__ = ["graph_coloring", "jp_coloring", "greedy_coloring_native"]
 
 
-def greedy_coloring_native(A):
+def greedy_coloring_native(A, assume_symmetric: bool = False):
     """Natural-order greedy coloring via the C++ kernel; None if unavailable."""
     from ..native.build import as_i32_ptr, as_i64_ptr, get_native
 
@@ -33,7 +33,7 @@ def greedy_coloring_native(A):
     n = M.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.int32)
-    G = (M + M.T).tocsr()
+    G = M if assume_symmetric else (M + M.T).tocsr()
     Gp = np.ascontiguousarray(G.indptr, dtype=np.int64)
     Gj = np.ascontiguousarray(G.indices, dtype=np.int64)
     colors = np.zeros(n, dtype=np.int32)
@@ -41,10 +41,10 @@ def greedy_coloring_native(A):
     return colors
 
 
-def graph_coloring(A, seed: int = 0) -> np.ndarray:
+def graph_coloring(A, seed: int = 0, assume_symmetric: bool = False) -> np.ndarray:
     """Default coloring: native natural-order greedy (fewest colors, C speed)
     with the vectorised Jones-Plassmann numpy tier as fallback."""
-    colors = greedy_coloring_native(A)
+    colors = greedy_coloring_native(A, assume_symmetric=assume_symmetric)
     if colors is not None:
         return colors
     return jp_coloring(A, seed=seed)
