@@ -29,7 +29,7 @@ from .config import (
 from .models.aggregate import StandardAggregation
 from .models.aggregation import fit_candidates, smoothed_aggregation
 from .models.classical import ruge_stuben
-from .models.coarse import Pinv, QRSolver
+from .models.coarse import LinearSolveWrapper, Pinv, QRSolver, SpluSolver
 from .models.gallery import poisson, stencil_grid
 from .models.interpolation import direct_interpolation
 from .models.multilevel import Level, MultiLevel, solve_mg
@@ -38,6 +38,10 @@ from .models.splitting import RS, rs_cf_splitting
 from .models.structured import StructuredRS
 from .models.strength import Classical, SymmetricStrength
 from .models.preconditioner import Preconditioner, aspreconditioner
+from .models.precs import (
+    RugeStubenPreconBuilder,
+    SmoothedAggregationPreconBuilder,
+)
 from .models.api import (
     AMGSolver,
     RugeStubenAMG,
@@ -63,9 +67,10 @@ __all__ = [
     # hierarchy
     "ruge_stuben", "smoothed_aggregation", "Level", "MultiLevel", "solve_mg",
     # coarse solvers
-    "Pinv", "QRSolver",
+    "Pinv", "QRSolver", "LinearSolveWrapper", "SpluSolver",
     # preconditioner / Krylov
     "Preconditioner", "aspreconditioner", "cg",
+    "RugeStubenPreconBuilder", "SmoothedAggregationPreconBuilder",
     # CommonSolve-style API
     "AMGSolver", "RugeStubenAMG", "SmoothedAggregationAMG", "solve", "init",
     # gallery & utils

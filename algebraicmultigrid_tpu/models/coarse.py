@@ -22,7 +22,14 @@ import numpy as np
 import scipy.linalg
 import scipy.sparse as sp
 
-__all__ = ["CoarseSolver", "Pinv", "QRSolver", "default_coarse_solver"]
+__all__ = [
+    "CoarseSolver",
+    "Pinv",
+    "QRSolver",
+    "LinearSolveWrapper",
+    "SpluSolver",
+    "default_coarse_solver",
+]
 
 
 def _dense(A) -> np.ndarray:
@@ -74,6 +81,59 @@ class QRSolver(CoarseSolver):
 
     def __repr__(self):
         return "QRSolver"
+
+
+class LinearSolveWrapper:
+    """Adapter wrapping an arbitrary external solve algorithm as a coarse
+    solver (parity with ``coarse_solver.jl:24-58``, where any LinearSolve.jl
+    algorithm is wrapped via an init/solve! cache with a per-RHS-column loop).
+
+    ``alg`` is a factorisation factory ``alg(A) -> obj`` where ``obj`` either
+    exposes ``.solve(b)`` (e.g. ``scipy.sparse.linalg.splu`` — the UMFPACK
+    analogue used in the reference tests, test/runtests.jl:126) or is itself a
+    callable ``b -> x``.  The config object is passed as
+    ``coarse_solver=LinearSolveWrapper(alg)`` and, like the reference's
+    outer/internal pair, calling it with the final-level matrix builds the
+    cached internal solver.
+    """
+
+    def __init__(self, alg):
+        self.alg = alg
+
+    def __call__(self, A):
+        return _LinearSolveWrapperInternal(self.alg, A)
+
+    def __repr__(self):
+        return f"LinearSolveWrapper({self.alg!r})"
+
+
+class _LinearSolveWrapperInternal(CoarseSolver):
+    def __init__(self, alg, A):
+        self._cache = alg(sp.csc_matrix(A) if sp.issparse(A) else A)
+        self._solve = (
+            self._cache.solve if hasattr(self._cache, "solve") else self._cache
+        )
+
+    def apply(self, b):
+        b = np.asarray(b)
+        if b.ndim == 1:
+            return self._solve(b)
+        # per-RHS-column loop (coarse_solver.jl:47-53)
+        cols = [np.asarray(self._solve(b[:, j])) for j in range(b.shape[1])]
+        return np.stack(cols, axis=1)
+
+    def __repr__(self):
+        return "LinearSolveWrapper"
+
+
+def SpluSolver(A):
+    """Sparse-LU coarse solver (the reference's UMFPACKFactorization analogue,
+    test/runtests.jl:126): usable directly as ``coarse_solver=SpluSolver``."""
+    import scipy.sparse.linalg as spla
+
+    return _LinearSolveWrapperInternal(
+        lambda M: spla.splu(sp.csc_matrix(M)), A
+    )
 
 
 def default_coarse_solver(A):
