@@ -31,6 +31,8 @@ from .models.aggregation import fit_candidates, smoothed_aggregation
 from .models.classical import ruge_stuben
 from .models.coarse import LinearSolveWrapper, Pinv, QRSolver, SpluSolver
 from .models.gallery import poisson, stencil_grid
+from .models.lattice import LatticeMatrix, LatticeProblem
+from .models.fastsetup import structured_ruge_stuben
 from .models.interpolation import direct_interpolation
 from .models.multilevel import Level, MultiLevel, solve_mg
 from .models.prolongation_smooth import JacobiProlongation
@@ -73,6 +75,8 @@ __all__ = [
     "RugeStubenPreconBuilder", "SmoothedAggregationPreconBuilder",
     # CommonSolve-style API
     "AMGSolver", "RugeStubenAMG", "SmoothedAggregationAMG", "solve", "init",
+    # lattice fast path
+    "LatticeMatrix", "LatticeProblem", "structured_ruge_stuben",
     # gallery & utils
     "poisson", "stencil_grid", "approximate_spectral_radius",
     "HermitianSymmetry", "NoSymmetry",

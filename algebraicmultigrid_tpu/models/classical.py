@@ -49,6 +49,26 @@ def ruge_stuben(
             "near null space `B` is only supported for smoothed aggregation "
             "AMG, not Ruge-Stüben AMG."
         )  # classical.jl:17-18
+    from .lattice import LatticeMatrix
+    from .structured import StructuredRS
+
+    if isinstance(A, LatticeMatrix):
+        if isinstance(CF, StructuredRS) and isinstance(strength, Classical):
+            from .fastsetup import structured_ruge_stuben
+
+            return structured_ruge_stuben(
+                A,
+                CF=CF,
+                strength=strength,
+                symmetry=symmetry,
+                presmoother=presmoother,
+                postsmoother=postsmoother,
+                max_levels=max_levels,
+                max_coarse=max_coarse,
+                coarse_solver=coarse_solver,
+                **kwargs,
+            )
+        A = A.tocsr()  # non-structured policies: assemble + generic path
     A = as_csc(A)
     if coarse_solver is None:
         coarse_solver = default_coarse_solver(A)

@@ -305,6 +305,14 @@ def _apply_smoother(cache, A, x, b):
 
 
 def _build_smoother_cache(config, A_csr, A_dev, dtype, colors=None, sym=False):
+    from .lattice import LatticeMatrix
+
+    if isinstance(A_csr, LatticeMatrix):
+        cache = _build_lattice_smoother_cache(config, A_csr, A_dev, dtype)
+        if cache is not None:
+            return cache
+        A_csr = A_csr.tocsr()  # rare fallback: materialise
+
     rows_padded = A_dev.rows_padded
     d = np.zeros(rows_padded, dtype=dtype)
     d[: A_csr.shape[0]] = A_csr.diagonal().astype(dtype)
@@ -329,6 +337,52 @@ def _build_smoother_cache(config, A_csr, A_dev, dtype, colors=None, sym=False):
             diag=jnp.asarray(d), omega=omega, iter=config.iter, forward=fwd, backward=bwd
         )
     raise TypeError(f"unknown smoother config {config!r}")
+
+
+def _build_lattice_smoother_cache(config, A_lat, A_dev, dtype):
+    """O(boundary) smoother caches for lattice levels: periodic torus
+    coloring + diagonal expansion, no O(nnz) graph analysis."""
+    from .lattice import lattice_coloring
+
+    spec = A_lat.spec
+    rows_padded = A_dev.rows_padded
+    n = A_lat.shape[0]
+    diag = spec.diagonal().astype(dtype)
+
+    if isinstance(config, Jacobi):
+        dinv = np.zeros(rows_padded, dtype=dtype)
+        dinv[:n] = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1), 0.0)
+        return JacobiCache(dinv=jnp.asarray(dinv), omega=float(config.omega), iter=config.iter)
+
+    if isinstance(config, (GaussSeidel, SOR)) and config.ordering == "multicolor":
+        got = lattice_coloring(spec)
+        if got is None:
+            return None
+        grid, n_colors = got
+        a, b = grid.shape
+        Wx, Wy = spec.row_dims
+        cx = np.arange(Wx) % a
+        cy = np.arange(Wy) % b
+        colors = grid[cx[:, None], cy[None, :]].ravel()
+
+        omega = float(config.omega) if isinstance(config, SOR) else 1.0
+        fwd = isinstance(config.sweep, (ForwardSweep, SymmetricSweep))
+        bwd = isinstance(config.sweep, (BackwardSweep, SymmetricSweep))
+        color_of = np.full(rows_padded, n_colors, dtype=np.int32)
+        active = diag != 0
+        color_of[:n] = np.where(active, colors, n_colors)
+        dinv = np.zeros(rows_padded, dtype=dtype)
+        dinv[:n] = np.where(active, 1.0 / np.where(active, diag, 1), 0.0)
+        return MaskedMulticolorCache(
+            color_of=jnp.asarray(color_of),
+            dinv=jnp.asarray(dinv),
+            n_colors=n_colors,
+            omega=omega,
+            iter=config.iter,
+            forward=fwd,
+            backward=bwd,
+        )
+    return None  # natural-order GS etc. → materialise + generic cache
 
 
 def _build_masked_multicolor_cache(A_csr, rows_padded, dtype, omega, iters, fwd, bwd, colors=None, sym=False):
@@ -440,8 +494,17 @@ def build_device_hierarchy(
         return False
 
     def lower(M, target_pad, force_ell=False, square=False):
-        """Pick the fastest representation: SDIA (gather-free strided bands)
-        → Dense (small, one MXU matmul) → ELL (gather fallback)."""
+        """Pick the fastest representation: Lat2D (lattice levels) → SDIA
+        (gather-free strided bands) → Dense (small, one MXU matmul) → ELL
+        (gather fallback)."""
+        from .lattice import LatticeMatrix
+        from ..ops.lattice_op import lat2d_from_spec
+
+        if isinstance(M, LatticeMatrix):
+            if force_ell:
+                M = M.tocsr()
+            else:
+                return lat2d_from_spec(M.spec, dtype=dtype, row_pad=target_pad)
         if not force_ell:
             # smaller levels tolerate wider diagonal sets (padding overhead
             # is bounded separately by max_overhead)

@@ -68,9 +68,14 @@ def stencil_grid(stencil: np.ndarray, sz: Sequence[int], dtype=np.float64) -> sp
 
 
 def poisson(
-    n: Union[int, Tuple[int, ...]], dtype=np.float64
-) -> sp.csr_matrix:
-    """Discrete Poisson operator — 1-D tridiagonal or N-D stencil grid."""
+    n: Union[int, Tuple[int, ...]], dtype=np.float64, lattice: bool = False
+):
+    """Discrete Poisson operator — 1-D tridiagonal or N-D stencil grid.
+
+    With ``lattice=True`` (1-D/2-D only) returns a symbolic
+    :class:`~.lattice.LatticeProblem` instead of assembled scipy — the entry
+    to the O(boundary) structured setup, usable at sizes where scipy assembly
+    itself is prohibitive."""
     if isinstance(n, (tuple, list)):
         sz = tuple(int(s) for s in n)
         N = len(sz)
@@ -82,7 +87,17 @@ def poisson(
                 idx[d] += off
                 stencil[tuple(idx)] = -1
         stencil[centre] = 2 * N
+        if lattice:
+            from .lattice import LatticeProblem
+
+            return LatticeProblem(stencil, sz, dtype=dtype)
         return stencil_grid(stencil, sz, dtype=dtype)
+    if lattice:
+        from .lattice import LatticeProblem
+
+        return LatticeProblem(
+            np.array([-1, 2, -1], dtype=dtype), (int(n),), dtype=dtype
+        )
     n = int(n)
     main = np.full(n, 2, dtype=dtype)
     off = np.full(n - 1, -1, dtype=dtype)

@@ -64,10 +64,12 @@ class Level:
 
     def _build(self, config):
         from ..utils.symmetry import HermitianSymmetry
+        from .lattice import LatticeMatrix
         from .relax import setup_smoother_host
 
         sym = self.symmetry if self.symmetry is not None else HermitianSymmetry()
-        return setup_smoother_host(config, self.A, sym)
+        A = self.A.tocsr() if isinstance(self.A, LatticeMatrix) else self.A
+        return setup_smoother_host(config, A, sym)
 
     @property
     def presmoother(self):

