@@ -32,12 +32,15 @@ from .models.classical import ruge_stuben
 from .models.coarse import LinearSolveWrapper, Pinv, QRSolver, SpluSolver
 from .models.gallery import poisson, stencil_grid
 from .models.lattice import LatticeMatrix, LatticeProblem
-from .models.fastsetup import structured_ruge_stuben
+from .models.fastsetup import (
+    structured_ruge_stuben,
+    structured_smoothed_aggregation,
+)
 from .models.interpolation import direct_interpolation
 from .models.multilevel import Level, MultiLevel, solve_mg
 from .models.prolongation_smooth import JacobiProlongation
 from .models.splitting import RS, rs_cf_splitting
-from .models.structured import StructuredRS
+from .models.structured import StructuredAggregation, StructuredRS
 from .models.strength import Classical, SymmetricStrength
 from .models.preconditioner import Preconditioner, aspreconditioner
 from .models.precs import (
@@ -64,7 +67,8 @@ __all__ = [
     "GaussSeidel", "Jacobi", "SOR",
     # strength / splitting / aggregation
     "Classical", "SymmetricStrength", "RS", "StructuredRS", "rs_cf_splitting",
-    "StandardAggregation", "fit_candidates", "JacobiProlongation",
+    "StandardAggregation", "StructuredAggregation", "fit_candidates",
+    "JacobiProlongation",
     "direct_interpolation",
     # hierarchy
     "ruge_stuben", "smoothed_aggregation", "Level", "MultiLevel", "solve_mg",
@@ -77,6 +81,7 @@ __all__ = [
     "AMGSolver", "RugeStubenAMG", "SmoothedAggregationAMG", "solve", "init",
     # lattice fast path
     "LatticeMatrix", "LatticeProblem", "structured_ruge_stuben",
+    "structured_smoothed_aggregation",
     # gallery & utils
     "poisson", "stencil_grid", "approximate_spectral_radius",
     "HermitianSymmetry", "NoSymmetry",

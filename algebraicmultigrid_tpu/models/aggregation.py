@@ -28,7 +28,7 @@ from typing import Optional
 import numpy as np
 import scipy.sparse as sp
 
-from ..config import GaussSeidel
+from ..config import GaussSeidel, Jacobi
 from ..ops.sparse import as_csc, as_csr
 from ..utils.symmetry import HermitianSymmetry
 from .aggregate import StandardAggregation
@@ -148,6 +148,35 @@ def smoothed_aggregation(
     **kwargs,
 ) -> MultiLevel:
     """Build a smoothed-aggregation hierarchy (aggregation.jl:66-114)."""
+    from .lattice import LatticeMatrix
+    from .structured import StructuredAggregation
+
+    if isinstance(A, LatticeMatrix):
+        if (
+            isinstance(aggregate, (StructuredAggregation, type(None)))
+            or isinstance(aggregate, StandardAggregation)
+        ) and isinstance(strength, SymmetricStrength):
+            from .fastsetup import structured_smoothed_aggregation
+
+            agg = aggregate if isinstance(aggregate, StructuredAggregation) else None
+            return structured_smoothed_aggregation(
+                A,
+                B=B,
+                aggregate=agg,
+                strength=strength,
+                symmetry=symmetry,
+                smooth=smooth,
+                presmoother=presmoother,
+                postsmoother=postsmoother,
+                improve_candidates=improve_candidates
+                if isinstance(improve_candidates, Jacobi)
+                else None,
+                max_levels=max_levels,
+                max_coarse=max_coarse,
+                coarse_solver=coarse_solver,
+                **kwargs,
+            )
+        A = A.tocsr()  # non-structured policies: assemble + generic path
     A = as_csc(A)
     n = A.shape[0]
     dtype = A.dtype
@@ -161,6 +190,7 @@ def smoothed_aggregation(
 
     levels = []
     bsr_flag = False
+    B_per_level = [np.array(B, copy=True)]  # pre-improvement B per level
     while len(levels) + 1 < max_levels and A.shape[0] > max_coarse:
         A, B, bsr_flag, stop = _extend_hierarchy_sa(
             levels,
@@ -177,9 +207,14 @@ def smoothed_aggregation(
         )
         if stop:
             break
+        if len(B_per_level) == len(levels):
+            B_per_level.append(np.array(B, copy=True))
 
     cs = coarse_solver(A)
     ml = MultiLevel(levels, as_csr(A), cs, symmetry=symmetry)
+    # per-level near-null-space candidates (pre-improvement), consumed by the
+    # structured fast path to seed the generic tail (models/fastsetup.py)
+    ml._B_per_level = B_per_level
     if verbose:
         print(ml)
     return ml

@@ -1,152 +1,185 @@
-"""Structured (proxy-extrapolated) Ruge-Stüben setup driver.
+"""Structured (proxy-extrapolated) setup drivers — RS and SA.
 
-``structured_ruge_stuben(problem, **kwargs)`` builds the same hierarchy the
-generic ``ruge_stuben(A, CF=StructuredRS(), **kwargs)`` would produce on a
-lattice problem, at O(boundary) cost instead of O(nnz):
+``structured_ruge_stuben(problem, **kwargs)`` / ``structured_smoothed_
+aggregation(problem, **kwargs)`` build the same hierarchies the generic
+``ruge_stuben(A, CF=StructuredRS())`` / ``smoothed_aggregation(A,
+aggregate=StructuredAggregation())`` would produce on a lattice problem, at
+O(boundary) cost instead of O(nnz):
 
 1. run the *generic* setup on a small proxy grid (same stencil, same kwargs
-   — so strength thresholds, smoother configs etc. all take effect),
+   — strength thresholds, smoother configs etc. all take effect),
 2. extract per level the (offset × boundary-class) coefficient tables of
    A/P/R with an exact round-trip check (models/lattice.py),
 3. re-instantiate the tables at full size as :class:`LatticeMatrix` levels
    (block fills; the device engine lowers them to gather-free Lat2D ops),
-4. below the cut (small levels / odd dims / extraction failure) assemble the
-   coarse operator to scipy and continue with the untouched generic setup.
+4. below the cut (small levels / incompatible dims / extraction failure)
+   assemble the coarse operator to scipy and continue with the untouched
+   generic setup.
 
-See models/lattice.py's module docstring for why the extracted coefficients
-match the full-size generic ones exactly (translation invariance of every
-setup kernel away from the boundary).
+Congruence requirements for step 3 (checked per level; violations cut):
+
+* per-axis coarsening ratio of the proxy must apply exactly to the full dims
+  (same ceil/floor-div by the same k, same remainder class mod k),
+* full and proxy widths must agree modulo the extracted interior period `s`
+  (so residue phases and right-boundary classes line up).
+
+The SA driver replaces the reference's default ``improve_candidates=
+GaussSeidel(iter=4)`` with ``Jacobi(0.5, iter=4)``: natural-order GS
+propagates boundary deviations across the whole grid in one sweep (decaying
+~4× per cell — never exactly zero), which breaks exact translation
+invariance; Jacobi's deviation belt is exactly ``iters × stencil reach``
+cells, so extraction stays bitwise.  Pass ``improve_candidates=...``
+explicitly to override (falls back to generic assembly if extraction then
+fails).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 import scipy.sparse as sp
 
-from ..config import GaussSeidel
+from ..config import GaussSeidel, Jacobi
 from ..utils.symmetry import HermitianSymmetry
-from .lattice import LatticeMatrix, LatticeProblem, extract_spec
+from .lattice import LatticeMatrix, axis_classes, extract_spec
 from .multilevel import Level, MultiLevel
-from .structured import StructuredRS
+from .structured import StructuredAggregation, StructuredRS
 
-__all__ = ["structured_ruge_stuben"]
+__all__ = ["structured_ruge_stuben", "structured_smoothed_aggregation"]
+
+_MOD = 12  # lcm of supported interior periods {1,2,3,4,6} and box ratios
 
 
-def _proxy_dims(full: Tuple[int, int], target: int = 128) -> Tuple[int, int]:
-    """Proxy grid dims: capped per axis, parity-matched to the full dims."""
+def _proxy_dims(full: Tuple[int, int], target: int) -> Tuple[int, int]:
+    """Proxy grid dims: capped per axis, congruent to the full dims mod 12
+    (so halving/box raggedness and residue phases match)."""
     out = []
     for W in full:
         if W <= target:
             out.append(W)
         else:
-            p = target + (W % 2 != target % 2)  # match parity
-            out.append(p)
+            out.append(target + ((W - target) % _MOD))
     return tuple(out)
 
 
 def _coarse_dim_candidates(dims: Tuple[int, int], n_c: int):
+    """Factorizations of n_c reachable from dims by per-axis k-coarsening."""
     Wx, Wy = dims
+    xs, ys = [], []
+    for k in (1, 2, 3, 4):
+        xs += [(Wx + k - 1) // k, Wx // k]
+        ys += [(Wy + k - 1) // k, Wy // k]
     cands = []
-    for cx, cy in [
-        (Wx, Wy // 2),
-        (Wx // 2, Wy),
-        (Wx // 2, Wy // 2),
-        (Wx, (Wy + 1) // 2),
-        ((Wx + 1) // 2, Wy),
-    ]:
-        if cx >= 1 and cy >= 1 and cx * cy == n_c and (cx, cy) not in cands:
-            cands.append((cx, cy))
+    for cx in dict.fromkeys(xs):
+        for cy in dict.fromkeys(ys):
+            if cx >= 1 and cy >= 1 and cx * cy == n_c and (cx, cy) not in cands:
+                cands.append((cx, cy))
     return cands
+
+
+def _axis_ratio(pw: int, pc: int) -> Optional[Tuple[int, str]]:
+    """(k, 'ceil'|'floor'|'same') relating a proxy axis to its coarse axis."""
+    if pc == pw:
+        return (1, "same")
+    for k in (2, 3, 4):
+        if pc == (pw + k - 1) // k:
+            return (k, "ceil")
+        if pc == pw // k:
+            return (k, "floor")
+    return None
 
 
 def _full_coarse_dims(
     pdims: Tuple[int, int], pdims_c: Tuple[int, int], fdims: Tuple[int, int]
 ) -> Optional[Tuple[int, int]]:
-    """Apply the proxy's per-axis coarsening ratio to the full dims; None if
-    the full dims can't follow it exactly (odd axis)."""
+    """Apply the proxy's per-axis coarsening to the full dims; None if the
+    full dims can't follow it exactly (ragged-phase mismatch)."""
     out = []
     for pw, pc, fw in zip(pdims, pdims_c, fdims):
-        if pc == pw:
-            out.append(fw)
-        elif 2 * pc == pw:
-            if fw % 2:
-                return None
-            out.append(fw // 2)
-        elif 2 * pc == pw + 1:  # ceil-halving (odd proxy axis)
-            if fw % 2 == 0:
-                return None
-            out.append((fw + 1) // 2)
-        else:
+        r = _axis_ratio(pw, pc)
+        if r is None:
             return None
+        k, mode = r
+        if mode == "same":
+            out.append(fw)
+            continue
+        if fw % k != pw % k:  # boundary-block size must match
+            return None
+        out.append((fw + k - 1) // k if mode == "ceil" else fw // k)
     return tuple(out)
 
 
-def structured_ruge_stuben(
+def _phase_ok(spec, fdims, pdims) -> bool:
+    """Interior residue phases / right-boundary classes line up iff the
+    full and proxy widths agree modulo the extracted periods."""
+    return (fdims[0] - pdims[0]) % spec.sx == 0 and (
+        fdims[1] - pdims[1]
+    ) % spec.sy == 0
+
+
+def extract_grid_vector(v: np.ndarray, dims, K: int = 8, s: int = 6):
+    """(table, meta) for a boundary-classed grid function (near-null-space
+    candidates); None if rows of the same class disagree."""
+    Wx, Wy = dims
+    v = np.asarray(v)
+    if v.shape[0] != Wx * Wy:
+        return None
+    Kx = K if Wx >= 2 * K + s else 0
+    Ky = K if Wy >= 2 * K + s else 0
+    sx = s if Wx > 1 else 1
+    sy = s if Wy > 1 else 1
+    if 2 * Kx + sx > Wx or 2 * Ky + sy > Wy:
+        return None
+    cx = axis_classes(np.arange(Wx), Wx, Kx, sx)
+    cy = axis_classes(np.arange(Wy), Wy, Ky, sy)
+    flat = cx[:, None] * (2 * Ky + sy) + cy[None, :]
+    lo = np.full((2 * Kx + sx) * (2 * Ky + sy), np.inf)
+    hi = np.full_like(lo, -np.inf)
+    np.minimum.at(lo, flat.ravel(), v)
+    np.maximum.at(hi, flat.ravel(), v)
+    seen = np.zeros(lo.shape, dtype=bool)
+    seen[flat.ravel()] = True
+    if np.any(seen & (hi != lo)):
+        return None
+    table = np.where(seen, lo, 0.0).reshape(2 * Kx + sx, 2 * Ky + sy)
+    return table, (Kx, sx, Ky, sy)
+
+
+def instantiate_grid_vector(table, meta, dims) -> np.ndarray:
+    Wx, Wy = dims
+    Kx, sx, Ky, sy = meta
+    cx = axis_classes(np.arange(Wx), Wx, Kx, sx)
+    cy = axis_classes(np.arange(Wy), Wy, Ky, sy)
+    return table[cx[:, None], cy[None, :]].ravel()
+
+
+# --------------------------------------------------------------------------
+# shared level walk
+# --------------------------------------------------------------------------
+
+
+def _extrapolate_levels(
     problem: LatticeMatrix,
+    ml_p: MultiLevel,
+    pdims: Tuple[int, int],
+    fdims: Tuple[int, int],
     *,
-    proxy: int = 128,
-    cut_rows: int = 40_000,
-    min_proxy_dim: int = 16,
-    presmoother=None,
-    postsmoother=None,
-    CF=None,
-    max_levels: int = 10,
-    max_coarse: int = 10,
-    **kwargs,
-) -> MultiLevel:
-    """Build a classical AMG hierarchy for a lattice problem at O(boundary)
-    setup cost.  Falls back to the generic path level-by-level: any level
-    whose operators fail exact extraction is assembled and handed to
-    ``ruge_stuben`` unchanged."""
-    from .classical import ruge_stuben  # deferred: circular import
+    cut_rows: int,
+    min_proxy_dim: int,
+    max_levels: int,
+    max_coarse: int,
+    presmoother,
+    postsmoother,
+):
+    """Walk proxy levels, extracting and re-instantiating while valid.
 
-    if presmoother is None:
-        presmoother = GaussSeidel(ordering="multicolor")
-    if postsmoother is None:
-        postsmoother = GaussSeidel(ordering="multicolor")
-    if CF is None:
-        CF = StructuredRS()
-
-    fdims = tuple(problem.spec.row_dims)
-    n_full = fdims[0] * fdims[1]
-
-    def generic_tail(A_like, remaining_levels):
-        A_csr = A_like.tocsr() if isinstance(A_like, LatticeMatrix) else A_like
-        return ruge_stuben(
-            A_csr,
-            CF=CF,
-            presmoother=presmoother,
-            postsmoother=postsmoother,
-            max_levels=remaining_levels,
-            max_coarse=max_coarse,
-            **kwargs,
-        )
-
-    pdims = _proxy_dims(fdims, proxy)
-    if (
-        n_full <= 4 * cut_rows
-        or min(fdims) < 2 * max(pdims)
-        or min(pdims) < min_proxy_dim
-    ):
-        return generic_tail(problem, max_levels)
-
-    # 1. generic setup on the proxy — the semantic source of truth
-    A_proxy = problem.spec.with_dims(pdims, pdims).tocsr()
-    ml_p = ruge_stuben(
-        A_proxy,
-        CF=CF,
-        presmoother=presmoother,
-        postsmoother=postsmoother,
-        max_levels=max_levels,
-        max_coarse=max_coarse,
-        **kwargs,
-    )
-
-    # 2.+3. extract & re-instantiate level by level
-    fast_levels = []
-    spec_A = problem.spec  # full-size spec of the current level's A
+    Returns (fast_levels, spec_A_cut, cut_pdims, cut_fdims, n_extracted).
+    spec_A_cut is the full-size spec of the first level NOT instantiated
+    (the generic tail's fine operator).
+    """
+    fast_levels: List[Level] = []
+    spec_A = problem.spec
     cur_pdims, cur_fdims = pdims, fdims
     lvl = 0
     while True:
@@ -182,7 +215,6 @@ def structured_ruge_stuben(
         sA = spec_A if lvl == 0 else extract_spec(A_p, cur_pdims, cur_pdims)
         if sA is None:
             break
-        # next level's A spec (needed as the cut operator or next iteration)
         if lvl + 1 < len(ml_p.levels):
             A_next_p = sp.csr_matrix(ml_p.levels[lvl + 1].A)
         else:
@@ -193,8 +225,19 @@ def structured_ruge_stuben(
         fd_c = _full_coarse_dims(cur_pdims, cd, cur_fdims)
         if fd_c is None:
             break
+        if not (
+            _phase_ok(sA, cur_fdims, cur_pdims)
+            and _phase_ok(sP, cur_fdims, cur_pdims)
+            and _phase_ok(sR, fd_c, cd)
+            and _phase_ok(sA_next, fd_c, cd)
+        ):
+            break
 
-        A_f = problem if lvl == 0 else LatticeMatrix(spec_A.with_dims(cur_fdims, cur_fdims))
+        A_f = (
+            problem
+            if lvl == 0
+            else LatticeMatrix(spec_A.with_dims(cur_fdims, cur_fdims))
+        )
         P_f = LatticeMatrix(sP.with_dims(cur_fdims, fd_c))
         R_f = LatticeMatrix(sR.with_dims(fd_c, cur_fdims))
         fast_levels.append(
@@ -211,18 +254,187 @@ def structured_ruge_stuben(
         cur_pdims, cur_fdims = cd, fd_c
         lvl += 1
 
-    if not fast_levels:
-        return generic_tail(problem, max_levels)
+    return fast_levels, spec_A, cur_pdims, cur_fdims
 
-    # 4. generic tail below the cut
-    A_cut = LatticeMatrix(spec_A.with_dims(cur_fdims, cur_fdims))
-    tail = generic_tail(A_cut, max_levels - len(fast_levels))
 
-    ml = MultiLevel(
+def _splice(problem, fast_levels, tail, dtype):
+    return MultiLevel(
         levels=fast_levels + tail.levels,
         final_A=tail.final_A,
         coarse_solver=tail.coarse_solver,
         symmetry=HermitianSymmetry(),
-        dtype=problem.dtype,
+        dtype=dtype,
     )
-    return ml
+
+
+def _too_small(problem, pdims, cut_rows, min_proxy_dim):
+    fdims = tuple(problem.spec.row_dims)
+    n_full = fdims[0] * fdims[1]
+    return (
+        n_full <= 4 * cut_rows
+        or min(fdims) < 2 * max(pdims)
+        or min(pdims) < min_proxy_dim
+    )
+
+
+# --------------------------------------------------------------------------
+# drivers
+# --------------------------------------------------------------------------
+
+
+def structured_ruge_stuben(
+    problem: LatticeMatrix,
+    *,
+    proxy: int = 128,
+    cut_rows: int = 40_000,
+    min_proxy_dim: int = 16,
+    presmoother=None,
+    postsmoother=None,
+    CF=None,
+    max_levels: int = 10,
+    max_coarse: int = 10,
+    **kwargs,
+) -> MultiLevel:
+    """Classical AMG for a lattice problem at O(boundary) setup cost.
+    Hierarchies are bitwise-equal to ``ruge_stuben(A, CF=StructuredRS())``;
+    falls back to the generic path when extraction fails."""
+    from .classical import ruge_stuben  # deferred: circular import
+
+    if presmoother is None:
+        presmoother = GaussSeidel(ordering="multicolor")
+    if postsmoother is None:
+        postsmoother = GaussSeidel(ordering="multicolor")
+    if CF is None:
+        CF = StructuredRS()
+
+    def generic(A_like, levels_left):
+        A_csr = A_like.tocsr() if isinstance(A_like, LatticeMatrix) else A_like
+        return ruge_stuben(
+            A_csr,
+            CF=CF,
+            presmoother=presmoother,
+            postsmoother=postsmoother,
+            max_levels=levels_left,
+            max_coarse=max_coarse,
+            **kwargs,
+        )
+
+    fdims = tuple(problem.spec.row_dims)
+    pdims = _proxy_dims(fdims, proxy)
+    if _too_small(problem, pdims, cut_rows, min_proxy_dim):
+        return generic(problem, max_levels)
+
+    A_proxy = problem.spec.with_dims(pdims, pdims).tocsr()
+    ml_p = generic(A_proxy, max_levels)
+
+    fast_levels, spec_A_cut, _, cut_fdims = _extrapolate_levels(
+        problem,
+        ml_p,
+        pdims,
+        fdims,
+        cut_rows=cut_rows,
+        min_proxy_dim=min_proxy_dim,
+        max_levels=max_levels,
+        max_coarse=max_coarse,
+        presmoother=presmoother,
+        postsmoother=postsmoother,
+    )
+    if not fast_levels:
+        return generic(problem, max_levels)
+
+    A_cut = LatticeMatrix(spec_A_cut.with_dims(cut_fdims, cut_fdims))
+    tail = generic(A_cut, max_levels - len(fast_levels))
+    return _splice(problem, fast_levels, tail, problem.dtype)
+
+
+def structured_smoothed_aggregation(
+    problem: LatticeMatrix,
+    *,
+    proxy: int = 126,
+    cut_rows: int = 40_000,
+    min_proxy_dim: int = 16,
+    B=None,
+    presmoother=None,
+    postsmoother=None,
+    aggregate=None,
+    improve_candidates=None,
+    max_levels: int = 10,
+    max_coarse: int = 10,
+    **kwargs,
+) -> MultiLevel:
+    """Smoothed-aggregation AMG for a lattice problem at O(boundary) setup
+    cost, using periodic box aggregation (:class:`StructuredAggregation`).
+
+    Matches ``smoothed_aggregation(A, aggregate=StructuredAggregation(),
+    improve_candidates=Jacobi(0.5, 4))`` bitwise on the fast levels (see the
+    module docstring for why Jacobi replaces natural-order GS here).  Only
+    the default near-null-space ``B=ones`` is supported on the fast path;
+    custom B assembles and runs the generic pipeline."""
+    from .aggregation import smoothed_aggregation  # deferred
+
+    if presmoother is None:
+        presmoother = GaussSeidel(ordering="multicolor")
+    if postsmoother is None:
+        postsmoother = GaussSeidel(ordering="multicolor")
+    if aggregate is None:
+        aggregate = StructuredAggregation()
+    if improve_candidates is None:
+        improve_candidates = Jacobi(omega=0.5, iter=4)
+
+    def generic(A_like, levels_left, B_arg=None):
+        A_csr = A_like.tocsr() if isinstance(A_like, LatticeMatrix) else A_like
+        return smoothed_aggregation(
+            A_csr,
+            B=B_arg,
+            aggregate=aggregate,
+            improve_candidates=improve_candidates,
+            presmoother=presmoother,
+            postsmoother=postsmoother,
+            max_levels=levels_left,
+            max_coarse=max_coarse,
+            **kwargs,
+        )
+
+    fdims = tuple(problem.spec.row_dims)
+    pdims = _proxy_dims(fdims, proxy)
+    if B is not None or _too_small(problem, pdims, cut_rows, min_proxy_dim):
+        return generic(problem, max_levels, B)
+
+    A_proxy = problem.spec.with_dims(pdims, pdims).tocsr()
+    ml_p = generic(A_proxy, max_levels)
+
+    fast_levels, spec_A_cut, cut_pdims, cut_fdims = _extrapolate_levels(
+        problem,
+        ml_p,
+        pdims,
+        fdims,
+        cut_rows=cut_rows,
+        min_proxy_dim=min_proxy_dim,
+        max_levels=max_levels,
+        max_coarse=max_coarse,
+        presmoother=presmoother,
+        postsmoother=postsmoother,
+    )
+    if not fast_levels:
+        return generic(problem, max_levels, B)
+
+    # the tail needs the coarse near-null-space at the cut level: extract the
+    # proxy's B (periodic-with-boundary grid function) and re-instantiate
+    n_cut = len(fast_levels)
+    B_cut_proxy = getattr(ml_p, "_B_per_level", None)
+    B_cut_full = None
+    if B_cut_proxy is not None and n_cut < len(B_cut_proxy):
+        got = extract_grid_vector(B_cut_proxy[n_cut], cut_pdims)
+        if got is not None and _phase_ok_vec(got[1], cut_fdims, cut_pdims):
+            B_cut_full = instantiate_grid_vector(got[0], got[1], cut_fdims)
+    if B_cut_full is None:
+        return generic(problem, max_levels, B)
+
+    A_cut = LatticeMatrix(spec_A_cut.with_dims(cut_fdims, cut_fdims))
+    tail = generic(A_cut, max_levels - n_cut, B_cut_full)
+    return _splice(problem, fast_levels, tail, problem.dtype)
+
+
+def _phase_ok_vec(meta, fdims, pdims) -> bool:
+    Kx, sx, Ky, sy = meta
+    return (fdims[0] - pdims[0]) % sx == 0 and (fdims[1] - pdims[1]) % sy == 0

@@ -108,6 +108,24 @@ def _axis_params(W: int, K: int, s: int) -> Tuple[int, int]:
 # --------------------------------------------------------------------------
 
 
+def derive_base(Wr: int, Wc: int) -> Optional[Tuple[int, int]]:
+    """Per-axis rational base (p, q): column point of row position ``i`` is
+    ``(i*p)//q``.  Covers same-size (1,1), k-fine rows (1,k) — base ``i//k``
+    for halving/box-k coarsened columns (exact or ceil-ragged) — and k-coarse
+    rows (k,1) — base ``k*i`` for restrictions."""
+    if Wc == Wr:
+        return (1, 1)
+    if Wc < Wr:
+        k = round(Wr / Wc)
+        if k >= 2 and Wc in ((Wr + k - 1) // k, Wr // k) and (Wr - 1) // k <= Wc - 1:
+            return (1, k)
+        return None
+    k = round(Wc / Wr)
+    if k >= 2 and Wr in ((Wc + k - 1) // k, Wc // k) and (Wr - 1) * k <= Wc - 1:
+        return (k, 1)
+    return None
+
+
 @dataclasses.dataclass(frozen=True)
 class LatticeSpec:
     """Coefficient table of a translation-invariant-with-boundary operator.
@@ -116,7 +134,8 @@ class LatticeSpec:
     ``offsets[k] = (dx, dy)`` for rows in x-class ``cx`` / y-class ``cy``.
     Row grid ``row_dims = (WxR, WyR)``; column grid ``col_dims``; the column
     lattice point of row ``(ix, iy)`` at offset ``(dx, dy)`` is
-    ``((ix*WxC)//WxR + dx, (iy*WyC)//WyR + dy)`` (out-of-range → no entry,
+    ``((ix*px)//qx + dx, (iy*py)//qy + dy)`` with the per-axis rational bases
+    ``base_x = (px, qx)``, ``base_y = (py, qy)`` (out-of-range → no entry,
     which the table encodes as an explicit 0 at the boundary class).
     """
 
@@ -128,8 +147,17 @@ class LatticeSpec:
     sx: int
     Ky: int
     sy: int
+    base_x: Tuple[int, int] = (1, 1)
+    base_y: Tuple[int, int] = (1, 1)
 
     def with_dims(self, row_dims: Tuple[int, int], col_dims: Tuple[int, int]) -> "LatticeSpec":
+        # the rational bases are scale-free; validate they still apply
+        for (W_r, W_c, b) in (
+            (row_dims[0], col_dims[0], self.base_x),
+            (row_dims[1], col_dims[1], self.base_y),
+        ):
+            p, q = b
+            assert ((W_r - 1) * p) // q <= W_c - 1, (row_dims, col_dims, b)
         return dataclasses.replace(self, row_dims=tuple(row_dims), col_dims=tuple(col_dims))
 
     @property
@@ -215,8 +243,8 @@ class LatticeSpec:
         n_r, n_c = WxR * WyR, WxC * WyC
         ix = np.arange(WxR)
         iy = np.arange(WyR)
-        bx = (ix * WxC) // WxR
-        by = (iy * WyC) // WyR
+        bx = (ix * self.base_x[0]) // self.base_x[1]
+        by = (iy * self.base_y[0]) // self.base_y[1]
         rows_grid = (ix[:, None] * WyR + iy[None, :])
         rows_acc, cols_acc, vals_acc = [], [], []
         for k, (dx, dy) in enumerate(self.offsets):
@@ -253,8 +281,8 @@ class LatticeSpec:
         Xp = np.pad(X, [(mx, mx), (my, my)] + [(0, 0)] * len(tail))
         ix = np.arange(WxR)
         iy = np.arange(WyR)
-        bx = (ix * WxC) // WxR
-        by = (iy * WyC) // WyR
+        bx = (ix * self.base_x[0]) // self.base_x[1]
+        by = (iy * self.base_y[0]) // self.base_y[1]
         y = np.zeros((WxR, WyR) + tail, dtype=np.result_type(self.table.dtype, x.dtype))
         for k, (dx, dy) in enumerate(self.offsets):
             V = self.expand(k)
@@ -294,14 +322,19 @@ def extract_spec(
     if M.shape != (WxR * WyR, WxC * WyC) or M.nnz == 0:
         return None
 
+    base_x = derive_base(WxR, WxC)
+    base_y = derive_base(WyR, WyC)
+    if base_x is None or base_y is None:
+        return None
+
     rows = np.repeat(np.arange(M.shape[0]), np.diff(M.indptr))
     cols = M.indices
     ix = rows // WyR
     iy = rows % WyR
     jx = cols // WyC
     jy = cols % WyC
-    dx = jx - (ix * WxC) // WxR
-    dy = jy - (iy * WyC) // WyR
+    dx = jx - (ix * base_x[0]) // base_x[1]
+    dy = jy - (iy * base_y[0]) // base_y[1]
 
     # offset vocabulary
     dmax_x = int(np.abs(dx).max())
@@ -310,35 +343,41 @@ def extract_spec(
     if len(offs) > max_offsets:
         return None
 
-    # choose interior periods: try (1,1) then (2,2) then (4,4)
-    for s in (1, 2, 4):
-        Kx, sx = _axis_params(WxR, K, s)
-        Ky, sy = _axis_params(WyR, K, s)
-        # margins must cover the offset reach so that clipped entries always
-        # land in a boundary class
-        if WxR > 1 and Kx < min(dmax_x + 1, (WxR - sx) // 2):
-            Kx = min(dmax_x + 1, (WxR - sx) // 2)
-        if WyR > 1 and Ky < min(dmax_y + 1, (WyR - sy) // 2):
-            Ky = min(dmax_y + 1, (WyR - sy) // 2)
-        if 2 * Kx + sx > WxR or 2 * Ky + sy > WyR:
-            continue
-        spec = _try_extract(
-            M, rows, ix, iy, dx, dy, offs, row_dims, col_dims, Kx, sx, Ky, sy
-        )
-        if spec is None:
-            continue
-        if verify:
-            R = spec.tocsr()
-            if R.shape != M.shape or R.nnz != M.nnz:
+    # Interior periods: 2 for red-black-type parities, 3 for box aggregation,
+    # products for mixes.  Boundary margins K escalate: candidate-improvement
+    # smoothers push deviation belts ~(iters × stencil reach) cells inward.
+    for K_try in (K, K + 3, K + 6):
+        for s in (1, 2, 3, 4, 6):
+            Kx, sx = _axis_params(WxR, K_try, s)
+            Ky, sy = _axis_params(WyR, K_try, s)
+            # margins must also cover the offset reach so clipped entries
+            # always land in a boundary class
+            if WxR > 1 and Kx < min(dmax_x + 1, (WxR - sx) // 2):
+                Kx = min(dmax_x + 1, (WxR - sx) // 2)
+            if WyR > 1 and Ky < min(dmax_y + 1, (WyR - sy) // 2):
+                Ky = min(dmax_y + 1, (WyR - sy) // 2)
+            if 2 * Kx + sx > WxR or 2 * Ky + sy > WyR:
                 continue
-            D = (R - M).tocoo()
-            if D.nnz and np.abs(D.data).max() != 0:
+            spec = _try_extract(
+                M, rows, ix, iy, dx, dy, offs, row_dims, col_dims, Kx, sx, Ky, sy,
+                base_x, base_y,
+            )
+            if spec is None:
                 continue
-        return spec
+            if verify:
+                R = spec.tocsr()
+                if R.shape != M.shape or R.nnz != M.nnz:
+                    continue
+                D = (R - M).tocoo()
+                if D.nnz and np.abs(D.data).max() != 0:
+                    continue
+            return spec
     return None
 
 
-def _try_extract(M, rows, ix, iy, dx, dy, offs, row_dims, col_dims, Kx, sx, Ky, sy):
+def _try_extract(
+    M, rows, ix, iy, dx, dy, offs, row_dims, col_dims, Kx, sx, Ky, sy, base_x, base_y
+):
     n_off = len(offs)
     nxc = n_axis_classes(Kx, sx)
     nyc = n_axis_classes(Ky, sy)
@@ -388,6 +427,8 @@ def _try_extract(M, rows, ix, iy, dx, dy, offs, row_dims, col_dims, Kx, sx, Ky, 
         sx=sx,
         Ky=Ky,
         sy=sy,
+        base_x=base_x,
+        base_y=base_y,
     )
 
 

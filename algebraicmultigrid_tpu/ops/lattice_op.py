@@ -36,6 +36,8 @@ class Lat2D:
     offsets: Tuple[Tuple[int, int], ...] = dataclasses.field(metadata=dict(static=True))
     row_dims: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     col_dims: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    base_x: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    base_y: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     rows_padded: int = dataclasses.field(metadata=dict(static=True))
@@ -50,35 +52,41 @@ def lat2d_from_spec(spec, dtype, row_pad: int = 8) -> Lat2D:
     no graph analysis)."""
     WxR, WyR = spec.row_dims
     n_r = WxR * WyR
-    data = spec.expand_all().astype(dtype)
+    data = spec.expand_all(dtype=dtype)  # fill directly at device dtype
     return Lat2D(
         data=jnp.asarray(data),
         offsets=spec.offsets,
         row_dims=(WxR, WyR),
         col_dims=tuple(spec.col_dims),
+        base_x=tuple(spec.base_x),
+        base_y=tuple(spec.base_y),
         shape=(n_r, spec.col_dims[0] * spec.col_dims[1]),
         nnz=spec.nnz(),
         rows_padded=round_up(max(n_r, 1), row_pad),
     )
 
 
-def _axis_take(Xp, axis: int, d: int, m: int, W_row: int, W_col: int):
-    """Static slice of the padded grid realising base(i)+d along one axis.
-
-    ``Xp`` is padded by ``m`` on each side of ``axis``; returns an array of
-    extent ``W_row`` along that axis.
+def _axis_take(Xp, axis: int, d: int, m: int, W_row: int, base: Tuple[int, int]):
+    """Static slice of the padded grid realising ``(i*p)//q + d`` along one
+    axis.  ``Xp`` is padded by ``m`` on each side of ``axis``; returns an
+    array of extent ``W_row`` along that axis.
     """
+    p, q = base
     start = d + m
-    if W_col == W_row:
+    if p == 1 and q == 1:
         return jax.lax.slice_in_dim(Xp, start, start + W_row, axis=axis)
-    if W_col == 2 * W_row:  # coarse rows (restriction): base = 2·i
+    if p == 1:  # fine rows (prolongation): base = i//q — q rows share a source
+        src = (W_row - 1) // q + 1
+        s = jax.lax.slice_in_dim(Xp, start, start + src, axis=axis)
+        s = jnp.repeat(s, q, axis=axis)
+        if src * q != W_row:
+            s = jax.lax.slice_in_dim(s, 0, W_row, axis=axis)
+        return s
+    if q == 1:  # coarse rows (restriction): base = p·i — strided read
         return jax.lax.slice_in_dim(
-            Xp, start, start + 2 * W_row - 1, stride=2, axis=axis
+            Xp, start, start + (W_row - 1) * p + 1, stride=p, axis=axis
         )
-    if W_row == 2 * W_col:  # fine rows (prolongation): base = i//2
-        s = jax.lax.slice_in_dim(Xp, start, start + W_col, axis=axis)
-        return jnp.repeat(s, 2, axis=axis)
-    raise ValueError(f"unsupported axis ratio {W_row}:{W_col}")
+    raise ValueError(f"unsupported rational base {base}")
 
 
 def lat2d_spmv(A: Lat2D, x: jax.Array) -> jax.Array:
@@ -97,8 +105,8 @@ def lat2d_spmv(A: Lat2D, x: jax.Array) -> jax.Array:
 
     y = jnp.zeros((WxR, WyR) + tail, dtype=jnp.result_type(A.data.dtype, x.dtype))
     for k, (dx, dy) in enumerate(A.offsets):
-        g = _axis_take(Xp, 0, dx, mx, WxR, WxC)
-        g = _axis_take(g, 1, dy, my, WyR, WyC)
+        g = _axis_take(Xp, 0, dx, mx, WxR, A.base_x)
+        g = _axis_take(g, 1, dy, my, WyR, A.base_y)
         dk = A.data[k]
         if tail:
             dk = dk[(...,) + (None,) * len(tail)]

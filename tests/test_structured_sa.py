@@ -1,0 +1,111 @@
+"""Structured smoothed aggregation — periodic box aggregates, proxy
+extrapolation, h-independence."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import algebraicmultigrid_tpu as amg
+from algebraicmultigrid_tpu.models.structured import (
+    StructuredAggregation,
+    detect_lattice_dims,
+)
+
+
+def test_structured_aggregation_partitions():
+    A = amg.poisson((48, 48))
+    S, _ = amg.SymmetricStrength()(A.tocsc())
+    for box in (2, 3):
+        agg = StructuredAggregation(box)(S)
+        # every node in exactly one aggregate; aggregate count exact
+        assert (np.asarray(agg.sum(axis=0)).ravel() == 1).all()
+        assert agg.shape[0] == ((48 + box - 1) // box) ** 2
+
+
+def test_detect_lattice_dims_on_deep_operators():
+    # grown multi-ring operators (which strict detect_lattice rejects) must
+    # still factorize
+    LP = amg.poisson((96, 96), lattice=True)
+    ml = amg.structured_smoothed_aggregation(
+        LP, proxy=48, cut_rows=500, min_proxy_dim=10
+    )
+    lvl1 = ml.levels[1].A
+    lvl1 = lvl1.tocsr() if hasattr(lvl1, "tocsr") else sp.csr_matrix(lvl1)
+    det = detect_lattice_dims(sp.csc_matrix(lvl1))
+    assert det is not None and det[0] * det[1] == lvl1.shape[0]
+
+
+def test_structured_sa_matches_generic_bitwise():
+    N = 256
+    LP = amg.poisson((N, N), lattice=True)
+    ml_f = amg.structured_smoothed_aggregation(
+        LP, proxy=64, cut_rows=8000, min_proxy_dim=12
+    )
+    gs = amg.GaussSeidel(ordering="multicolor")
+    ml_g = amg.smoothed_aggregation(
+        amg.poisson((N, N)),
+        aggregate=amg.StructuredAggregation(),
+        improve_candidates=amg.Jacobi(omega=0.5, iter=4),
+        presmoother=gs,
+        postsmoother=gs,
+    )
+    assert [l.A.shape[0] for l in ml_f.levels] == [l.A.shape[0] for l in ml_g.levels]
+    assert abs(ml_f.operator_complexity() - ml_g.operator_complexity()) < 1e-12
+    for i in range(len(ml_f.levels)):
+        Af = ml_f.levels[i].A
+        Af = Af.tocsr() if hasattr(Af, "tocsr") else sp.csr_matrix(Af)
+        D = (Af - sp.csr_matrix(ml_g.levels[i].A)).tocoo()
+        assert D.nnz == 0 or np.abs(D.data).max() == 0, f"A differs at level {i}"
+
+
+@pytest.mark.parametrize("box", [2, 3])
+def test_structured_sa_converges(box):
+    N = 192
+    LP = amg.poisson((N, N), lattice=True)
+    ml = amg.structured_smoothed_aggregation(
+        LP,
+        proxy=48,
+        cut_rows=2000,
+        min_proxy_dim=10,
+        aggregate=amg.StructuredAggregation(box=box),
+    )
+    b = LP @ np.ones(N * N)
+    x, res = amg.solve_mg(ml, b, reltol=1e-8, log=True, maxiter=60)
+    assert res[-1] < 1e-8 * res[0]
+    M = amg.aspreconditioner(ml)
+    xc, rc = amg.cg(amg.poisson((N, N)), b, M=M, tol=1e-8, log=True)
+    assert len(rc) - 1 <= 15
+
+
+def test_structured_sa_h_independent_box3():
+    iters = []
+    for N in (96, 192, 384):
+        LP = amg.poisson((N, N), lattice=True)
+        ml = amg.structured_smoothed_aggregation(
+            LP,
+            proxy=48,
+            cut_rows=2000,
+            min_proxy_dim=10,
+            aggregate=amg.StructuredAggregation(box=3),
+        )
+        b = LP @ np.ones(N * N)
+        x, res = amg.solve_mg(ml, b, reltol=1e-8, log=True, maxiter=80)
+        iters.append(len(res) - 1)
+    assert max(iters) - min(iters) <= 6, iters  # bounded, not growing with N
+
+
+def test_smoothed_aggregation_dispatches_lattice():
+    LP = amg.poisson((64, 64), lattice=True)
+    ml = amg.smoothed_aggregation(LP)  # falls through to structured driver
+    b = LP @ np.ones(64 * 64)
+    x = amg.solve_mg(ml, b, reltol=1e-8)
+    assert np.abs(x - 1).max() < 1e-5
+
+
+def test_structured_sa_custom_B_falls_back():
+    LP = amg.poisson((64, 64), lattice=True)
+    B = np.ones(64 * 64)
+    ml = amg.structured_smoothed_aggregation(LP, B=B)
+    # fallback = generic assembly; still a working hierarchy
+    x = amg.solve_mg(ml, LP @ np.ones(64 * 64), reltol=1e-8)
+    assert np.abs(x - 1).max() < 1e-5
