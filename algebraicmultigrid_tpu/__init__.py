@@ -55,6 +55,7 @@ from .models.api import (
     solve,
 )
 from .ops.krylov import cg
+from .models.device import cg_device, solve_refined
 from .utils.arnoldi import approximate_spectral_radius
 from .utils.symmetry import HermitianSymmetry, NoSymmetry
 
@@ -75,7 +76,7 @@ __all__ = [
     # coarse solvers
     "Pinv", "QRSolver", "LinearSolveWrapper", "SpluSolver",
     # preconditioner / Krylov
-    "Preconditioner", "aspreconditioner", "cg",
+    "Preconditioner", "aspreconditioner", "cg", "cg_device", "solve_refined",
     "RugeStubenPreconBuilder", "SmoothedAggregationPreconBuilder",
     # CommonSolve-style API
     "AMGSolver", "RugeStubenAMG", "SmoothedAggregationAMG", "solve", "init",

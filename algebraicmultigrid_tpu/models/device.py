@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any, Optional, Tuple
 
@@ -63,6 +64,8 @@ __all__ = [
     "build_device_hierarchy",
     "device_cycle_fn",
     "solve_device",
+    "cg_device",
+    "solve_refined",
 ]
 
 
@@ -288,8 +291,12 @@ def _smooth_scan_gs(cache: ScanGSCache, A: ELL, x, b):
 
 
 def _apply_smoother(cache, A, x, b):
+    from ..ops.blockgs import BlockGSCache, smooth_blockgs
+
     if isinstance(cache, JacobiCache):
         return _smooth_jacobi(cache, A, x, b)
+    if isinstance(cache, BlockGSCache):
+        return smooth_blockgs(cache, A, x, b)
     if isinstance(cache, MaskedMulticolorCache):
         return _smooth_masked_multicolor(cache, A, x, b)
     if isinstance(cache, MulticolorCache):
@@ -359,15 +366,26 @@ def _build_lattice_smoother_cache(config, A_lat, A_dev, dtype):
         if got is None:
             return None
         grid, n_colors = got
-        a, b = grid.shape
-        Wx, Wy = spec.row_dims
-        cx = np.arange(Wx) % a
-        cy = np.arange(Wy) % b
-        colors = grid[cx[:, None], cy[None, :]].ravel()
-
         omega = float(config.omega) if isinstance(config, SOR) else 1.0
         fwd = isinstance(config.sweep, (ForwardSweep, SymmetricSweep))
         bwd = isinstance(config.sweep, (BackwardSweep, SymmetricSweep))
+
+        if os.environ.get("AMG_BLOCK_GS") == "1":
+            # Blocked grid-colored sweep: one matvec-equivalent of HBM
+            # traffic per sweep in theory — but MEASURED 20× slower than the
+            # masked sweep on TPU v5e: the de-interleave transposes are
+            # stride-2/3 lane relayouts, which XLA executes as slow
+            # gather-like copies.  Kept behind a flag as the reference
+            # implementation for the Pallas in-VMEM variant.
+            from ..ops.blockgs import build_blockgs_cache
+
+            return build_blockgs_cache(
+                spec, grid, n_colors, dtype, omega, config.iter, fwd, bwd
+            )
+
+        a, b = grid.shape
+        Wx, Wy = spec.row_dims
+        colors = grid[(np.arange(Wx) % a)[:, None], (np.arange(Wy) % b)[None, :]].ravel()
         color_of = np.full(rows_padded, n_colors, dtype=np.int32)
         active = diag != 0
         color_of[:n] = np.where(active, colors, n_colors)
@@ -622,14 +640,17 @@ def device_cycle_fn(ml: MultiLevel, cycle: Cycle = V(), dtype=None):
     preconditioner contract (preconditioner.jl:12-19)."""
     h = _get_device_hierarchy(ml, dtype)
 
-    @jax.jit
-    def apply_fn(b):
-        bp = _pad_to(jnp.asarray(b, dtype=h.final_A.dtype if not h.levels else h.levels[0].A.dtype), h.fine_padded)
+    @partial(jax.jit, static_argnames=("cycle",))
+    def apply_fn(h, b, cycle):
+        # h is a traced pytree argument: keeps level arrays out of the HLO
+        # (closed-over arrays become giant baked-in constants)
+        wdtype = h.final_A.dtype if not h.levels else h.levels[0].A.dtype
+        bp = _pad_to(jnp.asarray(b, dtype=wdtype), h.fine_padded)
         x = jnp.zeros_like(bp)
         x = _one_iteration(h, cycle, x, bp)
         return x[: h.n_fine]
 
-    return apply_fn
+    return lambda b: apply_fn(h, b, cycle)
 
 
 def _pad_to(v, rows_padded):
@@ -681,6 +702,124 @@ def _solve_fused(h: DeviceHierarchy, b, maxiter, abstol, cycle, calculate_residu
     return x, itr - 1, normres
 
 
+# --------------------------------------------------------------------------
+# device Krylov + mixed-precision refinement
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cycle",))
+def _pcg_fused(h: DeviceHierarchy, b, maxiter, abstol, cycle):
+    """Fully jitted preconditioned CG with one AMG cycle (zero initial
+    guess, fixed, linear — preconditioner.jl:12-19 contract) per iteration.
+    State stays on device; the loop carries ⟨r,z⟩ and the residual norm."""
+    A = h.levels[0].A if h.levels else h.final_A
+    n_pad = b.shape[0]
+
+    def M(r):
+        z = jnp.zeros_like(r)
+        return _one_iteration(h, cycle, z, r)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        x, r, p, rz, itr, normr = state
+        return (itr < maxiter) & (normr > abstol)
+
+    def body(state):
+        x, r, p, rz, itr, normr = state
+        Ap = fit_len(mat_vec(A, p), n_pad)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, p, rz_new, itr + 1, jnp.linalg.norm(r))
+
+    state = (x0, r0, p0, rz0, 0, jnp.linalg.norm(r0))
+    x, r, p, rz, itr, normr = jax.lax.while_loop(cond, body, state)
+    return x, itr, normr
+
+
+def cg_device(
+    ml: MultiLevel,
+    b,
+    cycle: Cycle = V(),
+    *,
+    tol: float = 1e-8,
+    abstol: float = 0.0,
+    maxiter: int = 100,
+    dtype=None,
+    log: bool = False,
+):
+    """AMG-preconditioned conjugate gradients, fully on device."""
+    h = _get_device_hierarchy(ml, dtype)
+    wdtype = h.levels[0].A.dtype if h.levels else h.final_A.dtype
+    b_arr = jnp.asarray(np.asarray(b), dtype=wdtype)
+    n = b_arr.shape[0]
+    bp = _pad_to(b_arr, h.fine_padded)
+    normb = float(jnp.linalg.norm(b_arr))
+    thresh = max(tol * normb, abstol)
+    x, itr, normr = _pcg_fused(h, bp, maxiter, thresh, cycle)
+    xout = np.asarray(x)[:n]
+    return (xout, int(itr), float(normr)) if log else xout
+
+
+def solve_refined(
+    ml: MultiLevel,
+    b,
+    cycle: Cycle = V(),
+    *,
+    tol: float = 1e-8,
+    inner: str = "cg",
+    inner_tol: float = 1e-5,
+    inner_maxiter: int = 40,
+    max_rounds: int = 4,
+    dtype="float32",
+    log: bool = False,
+):
+    """Mixed-precision iterative refinement: float32 AMG inner solves under
+    a float64 outer residual loop.
+
+    A single-precision V-cycle stalls at relative residual ~1e-6 (f32
+    rounding floor); refinement reaches f64-grade tolerances while keeping
+    every inner FLOP in f32 on the MXU/VPU fast path:
+
+        r = b − A·x            (f64, one SpMV per round)
+        solve A·e ≈ r in f32   (AMG-PCG or V-cycles to ``inner_tol``)
+        x ← x + e              (f64)
+    """
+    h = _get_device_hierarchy(ml, dtype)
+    A_host = ml.levels[0].A if ml.levels else ml.final_A
+    b64 = np.asarray(b, dtype=np.float64)
+    n = b64.shape[0]
+    normb = float(np.linalg.norm(b64))
+    if normb == 0:
+        out = np.zeros_like(b64)
+        return (out, [0.0]) if log else out
+
+    x64 = np.zeros_like(b64)
+    r64 = b64.copy()
+    history = [normb]
+    for _ in range(max_rounds):
+        if history[-1] <= tol * normb:
+            break
+        scale = float(np.linalg.norm(r64))
+        bp = _pad_to(jnp.asarray((r64 / scale), dtype=h.levels[0].A.dtype if h.levels else h.final_A.dtype), h.fine_padded)
+        if inner == "cg":
+            e, _, _ = _pcg_fused(h, bp, inner_maxiter, inner_tol, cycle)
+        else:
+            e, _, _ = _solve_fused(h, bp, inner_maxiter, inner_tol, cycle, True)
+        x64 += scale * np.asarray(e, dtype=np.float64)[:n]
+        r64 = b64 - A_host @ x64  # f64 residual on host (exact carrier)
+        history.append(float(np.linalg.norm(r64)))
+    return (x64, history) if log else x64
+
+
 def solve_device(
     ml: MultiLevel,
     b,
@@ -715,13 +854,15 @@ def solve_device(
         return np.asarray(xq)[:n]
 
     # Observed path: one jitted cycle per outer iteration, host-side logging.
-    A = h.levels[0].A if h.levels else h.final_A
-
-    @partial(jax.jit, static_argnames=())
-    def step(xx):
-        xx = _one_iteration(h, cycle, xx, bp)
-        res = bp - fit_len(mat_vec(A, xx), bp.shape[0])
+    @partial(jax.jit, static_argnames=("cyc",))
+    def _step(h, xx, bb, cyc):
+        A = h.levels[0].A if h.levels else h.final_A
+        xx = _one_iteration(h, cyc, xx, bb)
+        res = bb - fit_len(mat_vec(A, xx), bb.shape[0])
         return xx, jnp.linalg.norm(res)
+
+    def step(xx):
+        return _step(h, xx, bp, cycle)
 
     xq = _pad_to(jnp.zeros_like(b_arr), h.fine_padded) if x is None else _pad_to(
         jnp.asarray(np.asarray(x), dtype=wdtype), h.fine_padded

@@ -51,15 +51,23 @@ __all__ = ["structured_ruge_stuben", "structured_smoothed_aggregation"]
 _MOD = 12  # lcm of supported interior periods {1,2,3,4,6} and box ratios
 
 
-def _proxy_dims(full: Tuple[int, int], target: int) -> Tuple[int, int]:
-    """Proxy grid dims: capped per axis, congruent to the full dims mod 12
-    (so halving/box raggedness and residue phases match)."""
+def _proxy_dims(
+    full: Tuple[int, int], target: int, k: int = 2, depth: int = 5
+) -> Tuple[int, int]:
+    """Proxy grid dims: capped per axis, congruent to the full axis modulo
+    ``k**depth`` so every level of the per-axis ceil-div-k coarsening chain
+    has matching raggedness (same ``W mod k``, hence identical boundary-block
+    structure) down to ``depth`` levels.  The finer residue-phase congruences
+    (mod the extracted interior period ``s``) are checked per level by
+    ``_phase_ok`` and cut the fast path safely where they fail."""
+    mod = k ** depth
     out = []
     for W in full:
         if W <= target:
             out.append(W)
         else:
-            out.append(target + ((W - target) % _MOD))
+            pw = target + ((W - target) % mod)
+            out.append(pw if pw <= W // 2 else target + ((W - target) % _MOD))
     return tuple(out)
 
 
@@ -118,32 +126,36 @@ def _phase_ok(spec, fdims, pdims) -> bool:
     ) % spec.sy == 0
 
 
-def extract_grid_vector(v: np.ndarray, dims, K: int = 8, s: int = 6):
+def extract_grid_vector(v: np.ndarray, dims, K: int = 8):
     """(table, meta) for a boundary-classed grid function (near-null-space
-    candidates); None if rows of the same class disagree."""
+    candidates); None if rows of the same class disagree.  Picks the
+    *minimal* interior period per axis so the congruence requirements on
+    re-instantiation are as weak as possible."""
     Wx, Wy = dims
     v = np.asarray(v)
     if v.shape[0] != Wx * Wy:
         return None
-    Kx = K if Wx >= 2 * K + s else 0
-    Ky = K if Wy >= 2 * K + s else 0
-    sx = s if Wx > 1 else 1
-    sy = s if Wy > 1 else 1
-    if 2 * Kx + sx > Wx or 2 * Ky + sy > Wy:
-        return None
-    cx = axis_classes(np.arange(Wx), Wx, Kx, sx)
-    cy = axis_classes(np.arange(Wy), Wy, Ky, sy)
-    flat = cx[:, None] * (2 * Ky + sy) + cy[None, :]
-    lo = np.full((2 * Kx + sx) * (2 * Ky + sy), np.inf)
-    hi = np.full_like(lo, -np.inf)
-    np.minimum.at(lo, flat.ravel(), v)
-    np.maximum.at(hi, flat.ravel(), v)
-    seen = np.zeros(lo.shape, dtype=bool)
-    seen[flat.ravel()] = True
-    if np.any(seen & (hi != lo)):
-        return None
-    table = np.where(seen, lo, 0.0).reshape(2 * Kx + sx, 2 * Ky + sy)
-    return table, (Kx, sx, Ky, sy)
+    for K_try, s in [(k, s) for k in (K, 6, 4) for s in (1, 2, 3, 4, 6)]:
+        Kx = K_try if Wx >= 2 * K_try + s else max((Wx - s) // 2, 0)
+        Ky = K_try if Wy >= 2 * K_try + s else max((Wy - s) // 2, 0)
+        sx = s if Wx > 1 else 1
+        sy = s if Wy > 1 else 1
+        if 2 * Kx + sx > Wx or 2 * Ky + sy > Wy:
+            continue
+        cx = axis_classes(np.arange(Wx), Wx, Kx, sx)
+        cy = axis_classes(np.arange(Wy), Wy, Ky, sy)
+        flat = cx[:, None] * (2 * Ky + sy) + cy[None, :]
+        lo = np.full((2 * Kx + sx) * (2 * Ky + sy), np.inf)
+        hi = np.full_like(lo, -np.inf)
+        np.minimum.at(lo, flat.ravel(), v)
+        np.maximum.at(hi, flat.ravel(), v)
+        seen = np.zeros(lo.shape, dtype=bool)
+        seen[flat.ravel()] = True
+        if np.any(seen & (hi != lo)):
+            continue
+        table = np.where(seen, lo, 0.0).reshape(2 * Kx + sx, 2 * Ky + sy)
+        return table, (Kx, sx, Ky, sy)
+    return None
 
 
 def instantiate_grid_vector(table, meta, dims) -> np.ndarray:
@@ -171,6 +183,7 @@ def _extrapolate_levels(
     max_coarse: int,
     presmoother,
     postsmoother,
+    B_per_level=None,
 ):
     """Walk proxy levels, extracting and re-instantiating while valid.
 
@@ -232,6 +245,14 @@ def _extrapolate_levels(
             and _phase_ok(sA_next, fd_c, cd)
         ):
             break
+        if B_per_level is not None:
+            # accepting this level moves the tail to `cd`: the coarse
+            # near-null-space must be re-instantiable there
+            if lvl + 1 >= len(B_per_level):
+                break
+            gotB = extract_grid_vector(B_per_level[lvl + 1], cd)
+            if gotB is None or not _phase_ok_vec(gotB[1], fd_c, cd):
+                break
 
         A_f = (
             problem
@@ -320,7 +341,7 @@ def structured_ruge_stuben(
         )
 
     fdims = tuple(problem.spec.row_dims)
-    pdims = _proxy_dims(fdims, proxy)
+    pdims = _proxy_dims(fdims, proxy, k=2, depth=6)
     if _too_small(problem, pdims, cut_rows, min_proxy_dim):
         return generic(problem, max_levels)
 
@@ -350,7 +371,7 @@ def structured_ruge_stuben(
 def structured_smoothed_aggregation(
     problem: LatticeMatrix,
     *,
-    proxy: int = 126,
+    proxy: int = 160,
     cut_rows: int = 40_000,
     min_proxy_dim: int = 16,
     B=None,
@@ -396,13 +417,15 @@ def structured_smoothed_aggregation(
         )
 
     fdims = tuple(problem.spec.row_dims)
-    pdims = _proxy_dims(fdims, proxy)
+    box = aggregate.box if isinstance(aggregate, StructuredAggregation) else 3
+    pdims = _proxy_dims(fdims, proxy, k=box, depth=4)
     if B is not None or _too_small(problem, pdims, cut_rows, min_proxy_dim):
         return generic(problem, max_levels, B)
 
     A_proxy = problem.spec.with_dims(pdims, pdims).tocsr()
     ml_p = generic(A_proxy, max_levels)
 
+    B_per_level = getattr(ml_p, "_B_per_level", None)
     fast_levels, spec_A_cut, cut_pdims, cut_fdims = _extrapolate_levels(
         problem,
         ml_p,
@@ -414,21 +437,16 @@ def structured_smoothed_aggregation(
         max_coarse=max_coarse,
         presmoother=presmoother,
         postsmoother=postsmoother,
+        B_per_level=B_per_level if B_per_level is not None else [],
     )
     if not fast_levels:
         return generic(problem, max_levels, B)
 
-    # the tail needs the coarse near-null-space at the cut level: extract the
-    # proxy's B (periodic-with-boundary grid function) and re-instantiate
+    # the tail's fine-level near-null-space, re-instantiated at full size
+    # (extractability at the cut was enforced inside the walk)
     n_cut = len(fast_levels)
-    B_cut_proxy = getattr(ml_p, "_B_per_level", None)
-    B_cut_full = None
-    if B_cut_proxy is not None and n_cut < len(B_cut_proxy):
-        got = extract_grid_vector(B_cut_proxy[n_cut], cut_pdims)
-        if got is not None and _phase_ok_vec(got[1], cut_fdims, cut_pdims):
-            B_cut_full = instantiate_grid_vector(got[0], got[1], cut_fdims)
-    if B_cut_full is None:
-        return generic(problem, max_levels, B)
+    got = extract_grid_vector(B_per_level[n_cut], cut_pdims)
+    B_cut_full = instantiate_grid_vector(got[0], got[1], cut_fdims)
 
     A_cut = LatticeMatrix(spec_A_cut.with_dims(cut_fdims, cut_fdims))
     tail = generic(A_cut, max_levels - n_cut, B_cut_full)

@@ -346,10 +346,20 @@ def extract_spec(
     # Interior periods: 2 for red-black-type parities, 3 for box aggregation,
     # products for mixes.  Boundary margins K escalate: candidate-improvement
     # smoothers push deviation belts ~(iters × stencil reach) cells inward.
-    for K_try in (K, K + 3, K + 6):
+    #
+    # SAFETY: margins are never clamped below ``min_margin`` on an axis wider
+    # than 1 — a proxy level too narrow to contain the belt PLUS a genuine
+    # interior would pass the on-proxy consistency check while freezing
+    # outer-belt values as "interior" constants (observed as ~1e-10 errors in
+    # deep instantiated operators).  Too-narrow levels must fail extraction
+    # so the driver cuts to the generic tail instead.
+    min_margin = 8
+    for K_try in (max(K, min_margin), K + 3, K + 6):
         for s in (1, 2, 3, 4, 6):
             Kx, sx = _axis_params(WxR, K_try, s)
             Ky, sy = _axis_params(WyR, K_try, s)
+            if (WxR > 1 and Kx < min_margin) or (WyR > 1 and Ky < min_margin):
+                continue
             # margins must also cover the offset reach so clipped entries
             # always land in a boundary class
             if WxR > 1 and Kx < min(dmax_x + 1, (WxR - sx) // 2):

@@ -82,6 +82,16 @@ def _shard_ell(E, mesh: Mesh, *, replicate: bool = False):
     if isinstance(E, DenseOp):
         s = rep if replicate else NamedSharding(mesh, P("shards", None))
         return dataclasses.replace(E, mat=jax.device_put(E.mat, s))
+    from ..ops.lattice_op import Lat2D
+
+    if isinstance(E, Lat2D):
+        # data is [n_off, WxR, WyR] → shard the row-grid slab axis (x); the
+        # spmv's shifted-slab reads lower to XLA halo collectives over ICI
+        if replicate or E.row_dims[0] % mesh.devices.size:
+            s = rep
+        else:
+            s = NamedSharding(mesh, P(None, "shards", None))
+        return dataclasses.replace(E, data=jax.device_put(E.data, s))
     return E
 
 

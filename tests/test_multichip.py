@@ -77,3 +77,26 @@ def test_sharded_sa_w_cycle():
     )
     assert normres <= 1e-8 * np.linalg.norm(b)
     assert np.allclose(x_sh, 1.0, atol=1e-5)
+
+
+@needs_devices
+@pytest.mark.multichip
+def test_sharded_lattice_hierarchy_solves():
+    """Lat2D levels row-slab sharded over the mesh: the structured SA
+    hierarchy solves under solve_sharded and matches the discrete solution."""
+    from algebraicmultigrid_tpu.models.lattice import LatticeMatrix
+
+    N = 144
+    LP = amg.poisson((N, N), lattice=True)
+    ml = amg.structured_smoothed_aggregation(
+        LP, proxy=64, cut_rows=2000, min_proxy_dim=16,
+        aggregate=amg.StructuredAggregation(box=3),
+    )
+    assert isinstance(ml.levels[0].A, LatticeMatrix), "fast path must engage"
+    mesh = make_row_mesh(8)
+    b = LP @ np.ones(N * N)
+    x, iters, nr = solve_sharded(
+        ml, b, mesh=mesh, reltol=1e-6, dtype="float64", replicate_below=256
+    )
+    assert nr <= 1e-6 * np.linalg.norm(b)
+    assert np.abs(x - 1).max() < 1e-4
