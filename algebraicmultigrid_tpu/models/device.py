@@ -292,7 +292,12 @@ def _smooth_scan_gs(cache: ScanGSCache, A: ELL, x, b):
 
 def _apply_smoother(cache, A, x, b):
     from ..ops.blockgs import BlockGSCache, smooth_blockgs
+    from ..ops.pallas.gs_kernel import PallasGSCache, smooth_pallas_gs
 
+    if isinstance(cache, PallasGSCache):
+        if x.ndim == 1:
+            return smooth_pallas_gs(cache, x, b)
+        cache = cache.fallback  # multi-RHS → masked sweep
     if isinstance(cache, JacobiCache):
         return _smooth_jacobi(cache, A, x, b)
     if isinstance(cache, BlockGSCache):
@@ -391,7 +396,7 @@ def _build_lattice_smoother_cache(config, A_lat, A_dev, dtype):
         color_of[:n] = np.where(active, colors, n_colors)
         dinv = np.zeros(rows_padded, dtype=dtype)
         dinv[:n] = np.where(active, 1.0 / np.where(active, diag, 1), 0.0)
-        return MaskedMulticolorCache(
+        masked = MaskedMulticolorCache(
             color_of=jnp.asarray(color_of),
             dinv=jnp.asarray(dinv),
             n_colors=n_colors,
@@ -400,6 +405,22 @@ def _build_lattice_smoother_cache(config, A_lat, A_dev, dtype):
             forward=fwd,
             backward=bwd,
         )
+        flag = os.environ.get("AMG_PALLAS_GS", "")
+        on_tpu = jax.default_backend() == "tpu"
+        # default: fused Pallas sweep on real TPUs; interpret-mode only when
+        # explicitly requested (AMG_PALLAS_GS=1 on CPU — far too slow as a
+        # test-suite default)
+        use_pallas = bool(active.all()) and (
+            flag == "1" or (flag != "0" and on_tpu)
+        )
+        if use_pallas:
+            from ..ops.pallas.gs_kernel import build_pallas_gs_cache
+
+            return build_pallas_gs_cache(
+                spec, grid, n_colors, dtype, omega, config.iter, fwd, bwd,
+                interpret=not on_tpu, fallback=masked,
+            )
+        return masked
     return None  # natural-order GS etc. → materialise + generic cache
 
 
