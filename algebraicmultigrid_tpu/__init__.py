@@ -57,6 +57,7 @@ from .models.api import (
 from .ops.krylov import cg
 from .models.device import cg_device, solve_refined
 from .utils.arnoldi import approximate_spectral_radius
+from .utils.serialize import load_hierarchy, save_hierarchy
 from .utils.symmetry import HermitianSymmetry, NoSymmetry
 
 __version__ = "0.1.0"
@@ -86,4 +87,5 @@ __all__ = [
     # gallery & utils
     "poisson", "stencil_grid", "approximate_spectral_radius",
     "HermitianSymmetry", "NoSymmetry",
+    "save_hierarchy", "load_hierarchy",
 ]

@@ -138,11 +138,12 @@ class MaskedMulticolorCache:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceLevel:
-    A: Any  # SDIA | DenseOp | ELL
+    A: Any  # Lat2D | SDIA | DenseOp | ELL
     P: Any
     R: Any
     pre: Any
     post: Any
+    fused: Any = None  # FusedLegCache — whole-leg Pallas kernels (Lat2D levels)
 
 
 @jax.tree_util.register_dataclass
@@ -410,8 +411,10 @@ def _build_lattice_smoother_cache(config, A_lat, A_dev, dtype):
         # default: fused Pallas sweep on real TPUs; interpret-mode only when
         # explicitly requested (AMG_PALLAS_GS=1 on CPU — far too slow as a
         # test-suite default)
-        use_pallas = bool(active.all()) and (
-            flag == "1" or (flag != "0" and on_tpu)
+        use_pallas = (
+            bool(active.all())
+            and (flag == "1" or (flag != "0" and on_tpu))
+            and os.environ.get("_AMG_SKIP_PALLAS_GS") != "1"
         )
         if use_pallas:
             from ..ops.pallas.gs_kernel import build_pallas_gs_cache
@@ -485,6 +488,47 @@ def _build_multicolor_cache(A_csr, A_ell: ELL, dtype, omega, iters, fwd, bwd, sy
         iter=iters,
         forward=fwd,
         backward=bwd,
+    )
+
+
+def _maybe_build_fused_legs(level, dtype):
+    """Fused down/up Pallas legs for a lattice level: requires Lat2D A/P/R
+    with box-k ratios, equal symmetric multicolor GS pre/post configs, and a
+    periodic coloring.  None → the unfused path runs."""
+    from .lattice import LatticeMatrix, lattice_coloring
+
+    flag = os.environ.get("AMG_PALLAS_FUSED", "")
+    on_tpu = jax.default_backend() == "tpu"
+    if not (flag == "1" or (flag != "0" and on_tpu)):
+        return None
+    if not all(isinstance(M, LatticeMatrix) for M in (level.A, level.P, level.R)):
+        return None
+    cfg = level.presmoother_config
+    if cfg != level.postsmoother_config:
+        return None
+    if not (isinstance(cfg, (GaussSeidel, SOR)) and cfg.ordering == "multicolor"):
+        return None
+    if not isinstance(cfg.sweep, SymmetricSweep):
+        return None
+    got = lattice_coloring(level.A.spec)
+    if got is None:
+        return None
+    grid, n_colors = got
+    from ..ops.pallas.vcycle_kernels import build_fused_leg_cache
+
+    omega = float(cfg.omega) if isinstance(cfg, SOR) else 1.0
+    return build_fused_leg_cache(
+        level.A.spec,
+        level.R.spec,
+        level.P.spec,
+        grid,
+        n_colors,
+        dtype,
+        omega,
+        cfg.iter,
+        True,
+        True,
+        interpret=not on_tpu,
     )
 
 
@@ -574,9 +618,18 @@ def build_device_hierarchy(
         P_dev = lower(level.P, pad_of_level[i])
         R_dev = lower(level.R, pad_of_level[i + 1])
         sym_hint = type(ml.symmetry).__name__ == "HermitianSymmetry"
-        pre = _build_smoother_cache(level.presmoother_config, level.A, A_dev, dtype, sym=sym_hint)
-        post = _build_smoother_cache(level.postsmoother_config, level.A, A_dev, dtype, sym=sym_hint)
-        out.append(DeviceLevel(A=A_dev, P=P_dev, R=R_dev, pre=pre, post=post))
+        fused = _maybe_build_fused_legs(level, dtype)
+        if fused is not None:
+            # the cycle runs the fused legs; pre/post only serve the
+            # multi-RHS fallback — build the cheap masked caches, not the
+            # (heavyweight, pre-tiled) Pallas smoother caches
+            os.environ["_AMG_SKIP_PALLAS_GS"] = "1"
+        try:
+            pre = _build_smoother_cache(level.presmoother_config, level.A, A_dev, dtype, sym=sym_hint)
+            post = _build_smoother_cache(level.postsmoother_config, level.A, A_dev, dtype, sym=sym_hint)
+        finally:
+            os.environ.pop("_AMG_SKIP_PALLAS_GS", None)
+        out.append(DeviceLevel(A=A_dev, P=P_dev, R=R_dev, pre=pre, post=post, fused=fused))
 
     coarse = _build_coarse_cache(ml, dtype, final_pad)
     final_dev = lower(as_csr_cached(ml.final_A), row_pad)
@@ -591,10 +644,10 @@ def build_device_hierarchy(
 def _coarse_solve(coarse: CoarseCache, b):
     b_log = b[: coarse.n]
     if coarse.kind == "qr":
-        y = jnp.matmul(coarse.qr_q.T.conj(), b_log)
+        y = jnp.matmul(coarse.qr_q.T.conj(), b_log, precision=jax.lax.Precision.HIGHEST)
         x = jax.scipy.linalg.solve_triangular(coarse.qr_r, y, lower=False)
     else:
-        x = jnp.matmul(coarse.mat, b_log)
+        x = jnp.matmul(coarse.mat, b_log, precision=jax.lax.Precision.HIGHEST)
     pad = coarse.rows_padded - coarse.n
     if pad:
         padding = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
@@ -616,6 +669,25 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
         if lvl + 1 < len(h.levels)
         else h.coarse.rows_padded
     )
+
+    if level.fused is not None and x.ndim == 1:
+        # fused Pallas legs: (presmooth + residual + restrict) down, then
+        # (prolong-correct + postsmooth) up — one kernel each
+        from ..ops.pallas.vcycle_kernels import fused_down, fused_up
+
+        with jax.named_scope(f"L{lvl}/down"):
+            x, coarse_b = fused_down(level.fused, x, b)
+            coarse_b = fit_len(coarse_b, n_next)
+        if lvl == len(h.levels) - 1:
+            with jax.named_scope("coarse_solve"):
+                coarse_x = _coarse_solve(h.coarse, coarse_b)
+        else:
+            coarse_x = jnp.zeros_like(coarse_b)
+            coarse_x = _next(h, cycle, coarse_x, coarse_b, lvl + 1)
+        with jax.named_scope(f"L{lvl}/up"):
+            x = fused_up(level.fused, x, b, coarse_x)
+        return x
+
     with jax.named_scope(f"L{lvl}/presmooth"):
         x = _apply_smoother(level.pre, level.A, x, b)
 

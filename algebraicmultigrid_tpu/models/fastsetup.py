@@ -371,8 +371,8 @@ def structured_ruge_stuben(
 def structured_smoothed_aggregation(
     problem: LatticeMatrix,
     *,
-    proxy: int = 160,
-    cut_rows: int = 40_000,
+    proxy: int = 256,
+    cut_rows: int = 15_000,
     min_proxy_dim: int = 16,
     B=None,
     presmoother=None,

@@ -196,7 +196,8 @@ def _sdia_spmv(A: SDIA, x: jax.Array) -> jax.Array:
 
 def _dense_spmv(A: DenseOp, x: jax.Array) -> jax.Array:
     n_cols = A.shape[1]
-    return jnp.matmul(A.mat, x[:n_cols], preferred_element_type=A.mat.dtype)
+    return jnp.matmul(A.mat, x[:n_cols], preferred_element_type=A.mat.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def mat_vec(A, x: jax.Array) -> jax.Array:
@@ -391,12 +392,14 @@ def _bt_spmv(A: "BTOp", x: jax.Array) -> jax.Array:
     Xs = jnp.stack(shifted, axis=1)
     if x.ndim == 1:
         Y = jnp.einsum(
-            "dtc,mdc->mt", A.blocks, Xs, preferred_element_type=A.blocks.dtype
+            "dtc,mdc->mt", A.blocks, Xs, preferred_element_type=A.blocks.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         y = Y.reshape(A.rows_padded)
     else:
         Y = jnp.einsum(
-            "dtc,mdck->mtk", A.blocks, Xs, preferred_element_type=A.blocks.dtype
+            "dtc,mdck->mtk", A.blocks, Xs, preferred_element_type=A.blocks.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         y = Y.reshape((A.rows_padded,) + tail)
 

@@ -117,12 +117,12 @@ def build_pallas_gs_cache(
     # the tiled arrays, so the standard pipelined BlockSpec path applies
     # (index maps are block-units in this JAX; overlapping windows can't be
     # expressed, and manual per-tile DMA forfeits Mosaic's double buffering)
-    A_tiled = np.zeros((gx, gy, n_off, BX, BY), dtype=dtype)
-    dinv_tiled = np.zeros((gx, gy, BX, BY), dtype=dtype)
-    for i in range(gx):
-        for j in range(gy):
-            A_tiled[i, j] = A_pad[:, i * TX : i * TX + BX, j * TY : j * TY + BY]
-            dinv_tiled[i, j] = dinv[i * TX : i * TX + BX, j * TY : j * TY + BY]
+    winA = np.lib.stride_tricks.sliding_window_view(A_pad, (BX, BY), axis=(1, 2))
+    A_tiled = np.ascontiguousarray(
+        winA[:, ::TX, ::TY].transpose(1, 2, 0, 3, 4)
+    )
+    winD = np.lib.stride_tricks.sliding_window_view(dinv, (BX, BY))
+    dinv_tiled = np.ascontiguousarray(winD[::TX, ::TY])
 
     return PallasGSCache(
         A_tiled=jnp.asarray(A_tiled),
@@ -253,6 +253,9 @@ def smooth_pallas_gs(cache: PallasGSCache, x, b):
             (TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((WxT, WyT), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         interpret=cache.interpret,
     )(Xt, Bt, cache.dinv_tiled, cache.A_tiled)
 

@@ -1,0 +1,500 @@
+"""Fused V-cycle leg kernels for Lat2D levels (Pallas TPU).
+
+The XLA cycle executes presmooth / residual / restrict / prolong / postsmooth
+as separate passes; the transfer operators' stride-k lane access patterns
+lower to slow relayouts, and every pass re-streams x through HBM.  These
+kernels fuse each *leg* of the cycle per level into one ``pallas_call``:
+
+* **down**: color-sweep presmoothing, residual ``r = b − A·x`` and the
+  stride-k restriction ``b_c = R·r`` — all on a VMEM-resident fine tile; two
+  outputs (presmoothed x and the coarse rhs tile).
+* **up**: prolongation ``x += P·x_c`` (``jnp.repeat`` upsampling in VMEM) and
+  color-sweep postsmoothing; one output.
+
+Stride-k subsampling inside VMEM uses the exact transpose-pick sequence
+(sublane split by reshape → transpose → sublane split → transpose): Mosaic
+has no lane-strided slice, lane-split reshapes crash, and selector matmuls
+run at bf16 by default (default TPU matmul precision truncates f32 inputs).
+
+Cross-tile dependencies use the same halo over-compute scheme as the fused
+smoother (ops/pallas/gs_kernel.py); all inputs are pre-tiled with duplicated
+halos so the pipelined BlockSpec path applies (index maps are block-units).
+
+Supported level shape: A base (1,1), R base (k,1), P base (1,k) on both axes
+with the same k ∈ {2, 3} — the structured-SA box-k levels.  Anything else
+falls back to the unfused XLA ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["FusedLegCache", "build_fused_leg_cache", "fused_down", "fused_up"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FusedLegCache:
+    A_tiled: jax.Array      # [gx, gy, n_offA, BX, BY]
+    dinv_tiled: jax.Array   # [gx, gy, BX, BY]
+    R_tiled: jax.Array      # [gx, gy, n_offR, TXc, TYc]
+    P_tiled: jax.Array      # [gx, gy, n_offP, BX, BY]
+    offsA: Tuple[Tuple[int, int], ...] = dataclasses.field(metadata=dict(static=True))
+    offsR: Tuple[Tuple[int, int], ...] = dataclasses.field(metadata=dict(static=True))
+    offsP: Tuple[Tuple[int, int], ...] = dataclasses.field(metadata=dict(static=True))
+    color_grid: Tuple[Tuple[int, ...], ...] = dataclasses.field(metadata=dict(static=True))
+    n_colors: int = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
+    row_dims: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))   # fine (Wx, Wy)
+    col_dims: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))   # coarse (Wxc, Wyc)
+    tile: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))       # (TX, TY) fine
+    Hf: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))         # fine halo (Hfx, Hfy)
+    Hc: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))         # coarse halo for up
+    omega: float = dataclasses.field(metadata=dict(static=True))
+    iter: int = dataclasses.field(metadata=dict(static=True))
+    forward: bool = dataclasses.field(metadata=dict(static=True))
+    backward: bool = dataclasses.field(metadata=dict(static=True))
+    interpret: bool = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def grid(self):
+        TX, TY = self.tile
+        Wx, Wy = self.row_dims
+        return (-(-Wx // TX), -(-Wy // TY))
+
+
+def _tile_with_halo(plane: np.ndarray, gx, gy, TX, TY, Hx, Hy):
+    """[W..] plane (already origin-aligned) → [gx, gy, TX+2Hx, TY+2Hy]
+    via a sliding-window view (one vectorised copy, no python tile loops)."""
+    BX, BY = TX + 2 * Hx, TY + 2 * Hy
+    pad = np.zeros((gx * TX + 2 * Hx, gy * TY + 2 * Hy), dtype=plane.dtype)
+    pad[Hx : Hx + plane.shape[0], Hy : Hy + plane.shape[1]] = plane
+    win = np.lib.stride_tricks.sliding_window_view(pad, (BX, BY))
+    return np.ascontiguousarray(win[::TX, ::TY])
+
+
+def build_fused_leg_cache(
+    specA, specR, specP, color_grid: np.ndarray, n_colors: int, dtype,
+    omega, iters, fwd, bwd, interpret: bool = False,
+):
+    """Pre-tile A/dinv/R/P for the fused leg kernels; None if the level's
+    shape isn't supported (ratios, sizes, VMEM)."""
+    if specA.base_x != (1, 1) or specA.base_y != (1, 1):
+        return None
+    kx, ky = specR.base_x, specR.base_y
+    if kx != ky or kx[1] != 1 or kx[0] not in (2, 3):
+        return None
+    k = kx[0]
+    if specP.base_x != (1, k) or specP.base_y != (1, k):
+        return None
+    Wx, Wy = specA.row_dims
+    Wxc, Wyc = specR.row_dims
+    if specP.row_dims != (Wx, Wy) or specP.col_dims != (Wxc, Wyc):
+        return None
+    # restriction offsets must fit the ±1 coarse-cell subsample margin
+    for dx, dy in specR.offsets:
+        if not (-k <= dx < 2 * k and -k <= dy < 2 * k):
+            return None
+
+    # fine tile: TX/k multiple of 8, TY/k multiple of 128
+    TX = 8 * k * max(1, min(240 // (8 * k), -(-Wx // (8 * k))))
+    TY = 128 * k * max(1, min(384 // (128 * k), -(-Wy // (128 * k))))
+    # halos: fine (sweep steps + residual + restrict reach), (4/64)-aligned
+    reachA = max(max(abs(d) for d, _ in specA.offsets), max(abs(d) for _, d in specA.offsets))
+    n_steps = ((n_colors if fwd else 0) + (n_colors if bwd else 0)) * iters
+    reachR = max(
+        max((abs(d) for d, _ in specR.offsets), default=0),
+        max((abs(d) for _, d in specR.offsets), default=0),
+    )
+    reachP = max(
+        max((abs(d) for d, _ in specP.offsets), default=0),
+        max((abs(d) for _, d in specP.offsets), default=0),
+    )
+    need = n_steps * reachA + reachA + max(reachR, k)
+    Hfx = -(-need // 4) * 4
+    Hfy = 64 * (-(-need // 64))
+    Hcx, Hcy = max(-(-Hfx // k) + reachP, 4), 64
+    Hcx = -(-Hcx // 4) * 4
+    if k * Hcx < Hfx + k * reachP or k * Hcy < Hfy + k * reachP:
+        return None
+
+    # VMEM estimate (double-buffered inputs + outputs); shrink TX to fit
+    nA, nR, nP = len(specA.offsets), len(specR.offsets), len(specP.offsets)
+    item = np.dtype(dtype).itemsize
+
+    def vmem_need(tx):
+        bx, by = tx + 2 * Hfx, TY + 2 * Hfy
+        txc, tyc = tx // k, TY // k
+        return 2 * item * (
+            (nA + nP + 2) * bx * by
+            + nR * txc * tyc
+            + (txc + 2 * Hcx) * (tyc + 2 * Hcy)
+            + tx * TY
+            + txc * tyc
+        )
+
+    while vmem_need(TX) > 12 * 2**20 and TX > 8 * k:
+        TX -= 8 * k
+    if vmem_need(TX) > 12 * 2**20:
+        return None
+    BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
+    TXc, TYc = TX // k, TY // k
+    if TXc % 8 or TYc % 128:
+        return None
+
+    gx = -(-Wx // TX)
+    gy = -(-Wy // TY)
+
+    A_tiled = np.zeros((gx, gy, nA, BX, BY), dtype=dtype)
+    for kk in range(nA):
+        A_tiled[:, :, kk] = _tile_with_halo(specA.expand(kk, dtype=dtype), gx, gy, TX, TY, Hfx, Hfy)
+    diag = specA.diagonal().reshape(Wx, Wy)
+    dv = np.zeros((Wx, Wy), dtype=dtype)
+    nz = diag != 0
+    dv[nz] = 1.0 / diag[nz]
+    dinv_tiled = _tile_with_halo(dv, gx, gy, TX, TY, Hfx, Hfy)
+
+    R_tiled = np.zeros((gx, gy, nR, TXc, TYc), dtype=dtype)
+    for kk in range(nR):
+        R_tiled[:, :, kk] = _tile_with_halo(specR.expand(kk, dtype=dtype), gx, gy, TXc, TYc, 0, 0)
+    P_tiled = np.zeros((gx, gy, nP, BX, BY), dtype=dtype)
+    for kk in range(nP):
+        P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=dtype), gx, gy, TX, TY, Hfx, Hfy)
+
+    return FusedLegCache(
+        A_tiled=jnp.asarray(A_tiled),
+        dinv_tiled=jnp.asarray(dinv_tiled),
+        R_tiled=jnp.asarray(R_tiled),
+        P_tiled=jnp.asarray(P_tiled),
+        offsA=specA.offsets,
+        offsR=specR.offsets,
+        offsP=specP.offsets,
+        color_grid=tuple(tuple(int(c) for c in row) for row in np.asarray(color_grid)),
+        n_colors=n_colors,
+        k=k,
+        row_dims=(Wx, Wy),
+        col_dims=(Wxc, Wyc),
+        tile=(TX, TY),
+        Hf=(Hfx, Hfy),
+        Hc=(Hcx, Hcy),
+        omega=omega,
+        iter=iters,
+        forward=fwd,
+        backward=bwd,
+        interpret=interpret,
+    )
+
+
+# --------------------------------------------------------------------------
+# kernel helpers
+# --------------------------------------------------------------------------
+
+
+def _color_of(i, j, TX, TY, Hx, Hy, BX, BY, color_grid):
+    tab = np.asarray(color_grid)
+    a, b = tab.shape
+    px = jax.lax.broadcasted_iota(jnp.int32, (BX, BY), 0)
+    py = jax.lax.broadcasted_iota(jnp.int32, (BX, BY), 1)
+    cx = (i * TX + px - Hx + 16384 * a) % a
+    cy = (j * TY + py - Hy + 16384 * b) % b
+    out = jnp.zeros((BX, BY), jnp.int32)
+    for u in range(a):
+        for v in range(b):
+            out = jnp.where((cx == u) & (cy == v), tab[u, v], out)
+    return out
+
+
+def _sweep(L, B, D, a_planes, color_of, steps, omega, offs, BX, BY):
+    for c in steps:
+        rsum = None
+        for kk, (dx, dy) in enumerate(offs):
+            src = L
+            if dx:
+                src = pltpu.roll(src, (-dx) % BX, axis=0)
+            if dy:
+                src = pltpu.roll(src, (-dy) % BY, axis=1)
+            term = a_planes[kk] * src
+            rsum = term if rsum is None else rsum + term
+        L = jnp.where(color_of == c, L + omega * D * (B - rsum), L)
+    return L
+
+
+def _subsample(L, s0x, s0y, k, TXc, TYc):
+    """Exact stride-k pick: L[s0x::k, s0y::k] → (TXc, TYc), via sublane
+    reshapes + transposes (no lane-strided slices in Mosaic)."""
+    C = jax.lax.slice(L, (s0x, s0y), (s0x + k * TXc, s0y + k * TYc))
+    sx = C.reshape(TXc, k, k * TYc)[:, 0, :]
+    t = sx.T
+    sy = t.reshape(TYc, k, TXc)[:, 0, :]
+    return sy.T
+
+
+def _all_residue_subsamples(r, Hx, Hy, k, TXc, TYc, M=1):
+    """sub[rx][ry][c, d] = r[Hx + rx + k·(c−M), Hy + ry + k·(d−M)] with a
+    ±M coarse-cell margin — shares the expensive VMEM transposes across
+    residues (1 + k transposes total instead of 2 per restriction offset).
+    Requires Hx ≥ k·M + (k−1) − ... i.e. Hx − k·M ≥ 0 and the symmetric
+    bound on the high side (guaranteed by the builder's halo sizing)."""
+    BX = r.shape[0]
+    nxm, nym = TXc + 2 * M, TYc + 2 * M
+    rT = r.T  # one big transpose: (BY, BX)
+    subs = [[None] * k for _ in range(k)]
+    for ry in range(k):
+        y0 = Hy + ry - k * M
+        cy = jax.lax.slice(rT, (y0, 0), (y0 + k * nym, BX))
+        py = cy.reshape(nym, k, BX)[:, 0, :]   # (nym, BX)
+        back = py.T                             # (BX, nym) — one transpose per ry
+        for rx in range(k):
+            x0 = Hx + rx - k * M
+            cx = jax.lax.slice(back, (x0, 0), (x0 + k * nxm, nym))
+            subs[rx][ry] = cx.reshape(nxm, k, nym)[:, 0, :]
+    return subs
+
+
+def _steps_list(n_colors, iters, fwd, bwd):
+    steps = []
+    for _ in range(iters):
+        if fwd:
+            steps += list(range(n_colors))
+        if bwd:
+            steps += list(range(n_colors - 1, -1, -1))
+    return tuple(steps)
+
+
+# --------------------------------------------------------------------------
+# down: presmooth + residual + restrict
+# --------------------------------------------------------------------------
+
+
+def _down_kernel(
+    x_ref, b_ref, d_ref, a_ref, r_ref, xo_ref, bc_ref,
+    *, offsA, offsR, color_grid, steps, omega, k, Hfx, Hfy, TX, TY,
+):
+    BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
+    TXc, TYc = TX // k, TY // k
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
+
+    L = x_ref[0, 0]
+    B = b_ref[0, 0]
+    D = d_ref[0, 0]
+    A = a_ref[0, 0]
+
+    L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
+    xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
+
+    # residual on the (still-valid) halo region
+    rsum = None
+    for kk, (dx, dy) in enumerate(offsA):
+        src = L
+        if dx:
+            src = pltpu.roll(src, (-dx) % BX, axis=0)
+        if dy:
+            src = pltpu.roll(src, (-dy) % BY, axis=1)
+        term = A[kk] * src
+        rsum = term if rsum is None else rsum + term
+    r = B - rsum
+
+    # restriction: coarse local cl reads fine local k·cl + (δ + Hf).
+    # Residue-shared subsamples: offset δ uses residue (δ mod k) shifted by
+    # the floor quotient — a static slice of the margined subsample.
+    M = 1
+    subs = _all_residue_subsamples(r, Hfx, Hfy, k, TXc, TYc, M=M)
+    acc = None
+    for kk, (dx, dy) in enumerate(offsR):
+        rx, ry = dx % k, dy % k
+        mx, my = dx // k, dy // k
+        sub = jax.lax.slice(
+            subs[rx][ry], (M + mx, M + my), (M + mx + TXc, M + my + TYc)
+        )
+        term = r_ref[0, 0, kk] * sub
+        acc = term if acc is None else acc + term
+    bc_ref[:] = acc
+
+
+def fused_down(cache: FusedLegCache, x, b):
+    """(x', b_c) = (presmooth(x, b), R·(b − A·x')) — one pallas_call."""
+    Wx, Wy = cache.row_dims
+    Wxc, Wyc = cache.col_dims
+    TX, TY = cache.tile
+    Hfx, Hfy = cache.Hf
+    k = cache.k
+    gx, gy = cache.grid
+    BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
+    TXc, TYc = TX // k, TY // k
+    dtype = cache.A_tiled.dtype
+    n = Wx * Wy
+
+    Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+    Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+
+    kern = functools.partial(
+        _down_kernel,
+        offsA=cache.offsA,
+        offsR=cache.offsR,
+        color_grid=cache.color_grid,
+        steps=_steps_list(cache.n_colors, cache.iter, cache.forward, cache.backward),
+        omega=cache.omega,
+        k=k,
+        Hfx=Hfx,
+        Hfy=Hfy,
+        TX=TX,
+        TY=TY,
+    )
+    tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec(
+        (1, 1, len(cache.offsA), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    r_spec = pl.BlockSpec(
+        (1, 1, len(cache.offsR), TXc, TYc), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    xo, bc = pl.pallas_call(
+        kern,
+        grid=(gx, gy),
+        in_specs=[tile_spec, tile_spec, tile_spec, a_spec, r_spec],
+        out_specs=(
+            pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TXc, TYc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
+            jax.ShapeDtypeStruct((gx * TXc, gy * TYc), dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=cache.interpret,
+    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, cache.R_tiled)
+
+    xo = xo[:Wx, :Wy].reshape(n).astype(x.dtype)
+    bc = bc[:Wxc, :Wyc].reshape(Wxc * Wyc).astype(x.dtype)
+    pad = x.shape[0] - n
+    if pad > 0:
+        xo = jnp.pad(xo, (0, pad))
+    return xo, bc
+
+
+# --------------------------------------------------------------------------
+# up: prolong-correct + postsmooth
+# --------------------------------------------------------------------------
+
+
+def _up_kernel(
+    x_ref, b_ref, d_ref, a_ref, p_ref, xc_ref, xo_ref,
+    *, offsA, offsP, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
+):
+    BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
+
+    L = x_ref[0, 0]
+    B = b_ref[0, 0]
+    D = d_ref[0, 0]
+    A = a_ref[0, 0]
+    XC = xc_ref[0, 0]
+
+    # prolong-correct: fine local f reads coarse (f − Hf)//k + δ + Hc.
+    # Lane-axis jnp.repeat crashes Mosaic — repeat lanes via transpose +
+    # sublane repeat + transpose (same trick as the stride-k subsample).
+    upx = jnp.repeat(XC, k, axis=0)
+    up = jnp.repeat(upx.T, k, axis=0).T
+    corr = None
+    for kk, (dx, dy) in enumerate(offsP):
+        sx = k * (dx + Hcx) - Hfx
+        sy = k * (dy + Hcy) - Hfy
+        src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
+        term = p_ref[0, 0, kk] * src
+        corr = term if corr is None else corr + term
+    L = L + corr
+
+    L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
+    xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
+
+
+def fused_up(cache: FusedLegCache, x, b, xc):
+    """x = postsmooth(x + P·x_c, b) — one pallas_call."""
+    Wx, Wy = cache.row_dims
+    Wxc, Wyc = cache.col_dims
+    TX, TY = cache.tile
+    Hfx, Hfy = cache.Hf
+    Hcx, Hcy = cache.Hc
+    k = cache.k
+    gx, gy = cache.grid
+    BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
+    TXc, TYc = TX // k, TY // k
+    dtype = cache.A_tiled.dtype
+    n = Wx * Wy
+    nc = Wxc * Wyc
+
+    Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+    Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+    XCt = _xla_tile(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+
+    kern = functools.partial(
+        _up_kernel,
+        offsA=cache.offsA,
+        offsP=cache.offsP,
+        color_grid=cache.color_grid,
+        steps=_steps_list(cache.n_colors, cache.iter, cache.forward, cache.backward),
+        omega=cache.omega,
+        k=k,
+        Hfx=Hfx,
+        Hfy=Hfy,
+        Hcx=Hcx,
+        Hcy=Hcy,
+        TX=TX,
+        TY=TY,
+    )
+    tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec(
+        (1, 1, len(cache.offsA), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    p_spec = pl.BlockSpec(
+        (1, 1, len(cache.offsP), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    c_spec = pl.BlockSpec(
+        (1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    xo = pl.pallas_call(
+        kern,
+        grid=(gx, gy),
+        in_specs=[tile_spec, tile_spec, tile_spec, a_spec, p_spec, c_spec],
+        out_specs=pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=cache.interpret,
+    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, cache.P_tiled, XCt)
+
+    xo = xo[:Wx, :Wy].reshape(n).astype(x.dtype)
+    pad = x.shape[0] - n
+    if pad > 0:
+        xo = jnp.pad(xo, (0, pad))
+    return xo
+
+
+def _xla_tile(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
+    """flat padded vector → [gx, gy, TX+2Hx, TY+2Hy] halo tiles (static
+    slice stacks — fused by XLA, no per-tile dispatch)."""
+    BX, BY = TX + 2 * Hx, TY + 2 * Hy
+    g = v[:n].reshape(Wx, Wy).astype(dtype)
+    g = jnp.pad(g, ((Hx, Hx + gx * TX - Wx), (Hy, Hy + gy * TY - Wy)))
+    slabs = jnp.stack(
+        [jax.lax.slice_in_dim(g, i * TX, i * TX + BX, axis=0) for i in range(gx)]
+    )
+    return jnp.stack(
+        [jax.lax.slice_in_dim(slabs, j * TY, j * TY + BY, axis=2) for j in range(gy)],
+        axis=1,
+    )

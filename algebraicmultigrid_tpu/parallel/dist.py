@@ -138,13 +138,22 @@ def shard_hierarchy(
     levels = []
     for level in h.levels:
         big = level.A.shape[0] >= replicate_below and level.A.rows_padded % n_shards == 0
+        pre, post = level.pre, level.post
+        # single-chip Pallas caches don't shard — use their masked fallbacks
+        from ..ops.pallas.gs_kernel import PallasGSCache
+
+        if isinstance(pre, PallasGSCache):
+            pre = pre.fallback
+        if isinstance(post, PallasGSCache):
+            post = post.fallback
         levels.append(
             DeviceLevel(
                 A=_shard_ell(level.A, mesh, replicate=not big),
                 P=_shard_ell(level.P, mesh, replicate=not big),
                 R=_shard_ell(level.R, mesh, replicate=True),
-                pre=_shard_smoother(level.pre, mesh, big),
-                post=_shard_smoother(level.post, mesh, big),
+                pre=_shard_smoother(pre, mesh, big),
+                post=_shard_smoother(post, mesh, big),
+                fused=None,  # fused legs are single-chip kernels
             )
         )
     rep = NamedSharding(mesh, P())

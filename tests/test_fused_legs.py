@@ -1,0 +1,81 @@
+"""Fused V-cycle leg kernels: equivalence to the unfused XLA path
+(interpret mode on CPU; the compiled path runs on TPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import algebraicmultigrid_tpu as amg
+
+
+@pytest.fixture(scope="module")
+def fused_pair(monkeypatch_module=None):
+    os.environ["AMG_PALLAS_FUSED"] = "1"
+    try:
+        from algebraicmultigrid_tpu.models.device import (
+            DeviceHierarchy,
+            DeviceLevel,
+            build_device_hierarchy,
+        )
+
+        N = 192
+        LP = amg.poisson((N, N), lattice=True)
+        ml = amg.structured_smoothed_aggregation(
+            LP, proxy=64, cut_rows=2000, min_proxy_dim=16,
+            aggregate=amg.StructuredAggregation(box=3),
+        )
+        h = build_device_hierarchy(ml, dtype=jnp.float32)
+        h0 = DeviceHierarchy(
+            levels=tuple(
+                DeviceLevel(A=L.A, P=L.P, R=L.R, pre=L.pre, post=L.post)
+                for L in h.levels
+            ),
+            coarse=h.coarse,
+            final_A=h.final_A,
+        )
+        yield N, h, h0
+    finally:
+        os.environ.pop("AMG_PALLAS_FUSED", None)
+
+
+def test_fused_vcycle_matches_unfused(fused_pair):
+    from algebraicmultigrid_tpu.models.device import _one_iteration
+
+    N, h, h0 = fused_pair
+    assert h.levels[0].fused is not None, "fused legs must build"
+    n = N * N
+    rng = np.random.default_rng(0)
+    b = np.zeros(h.fine_padded, np.float32)
+    b[:n] = rng.standard_normal(n)
+    x0 = jnp.zeros(h.fine_padded, jnp.float32)
+    xa = np.asarray(_one_iteration(h, amg.V(), x0, jnp.asarray(b)))
+    xb = np.asarray(_one_iteration(h0, amg.V(), x0, jnp.asarray(b)))
+    scale = max(np.abs(xb).max(), 1e-30)
+    assert np.abs(xa[:n] - xb[:n]).max() / scale < 1e-5
+
+
+def test_fused_down_up_roundtrip(fused_pair):
+    from algebraicmultigrid_tpu.ops.pallas.vcycle_kernels import fused_down, fused_up
+    from algebraicmultigrid_tpu.models.device import _apply_smoother, fit_len
+    from algebraicmultigrid_tpu.ops.banded import mat_vec
+
+    N, h, h0 = fused_pair
+    L = h.levels[0]
+    c = L.fused
+    n = N * N
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(np.pad(rng.standard_normal(n).astype(np.float32), (0, L.A.rows_padded - n)))
+    b = jnp.asarray(np.pad(rng.standard_normal(n).astype(np.float32), (0, L.A.rows_padded - n)))
+
+    xd, bc = fused_down(c, x, b)
+    # reference: smoother + residual + restrict through the XLA ops
+    xs = _apply_smoother(L.pre.fallback if hasattr(L.pre, "fallback") else L.pre, L.A, x, b)
+    res = b - fit_len(mat_vec(L.A, xs), b.shape[0])
+    bc_ref = np.asarray(mat_vec(L.R, res))[: bc.shape[0]]
+    sc = max(np.abs(np.asarray(xs)).max(), 1e-30)
+    assert np.abs(np.asarray(xd) - np.asarray(xs)).max() / sc < 1e-5
+    sc2 = max(np.abs(bc_ref).max(), 1e-30)
+    assert np.abs(np.asarray(bc)[: bc_ref.shape[0]] - bc_ref).max() / sc2 < 1e-5
