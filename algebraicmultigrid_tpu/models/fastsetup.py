@@ -46,7 +46,11 @@ from .lattice import LatticeMatrix, axis_classes, extract_spec
 from .multilevel import Level, MultiLevel
 from .structured import StructuredAggregation, StructuredRS
 
-__all__ = ["structured_ruge_stuben", "structured_smoothed_aggregation"]
+__all__ = [
+    "structured_ruge_stuben",
+    "structured_smoothed_aggregation",
+    "latticify_tail",
+]
 
 _MOD = 12  # lcm of supported interior periods {1,2,3,4,6} and box ratios
 
@@ -278,14 +282,57 @@ def _extrapolate_levels(
     return fast_levels, spec_A, cur_pdims, cur_fdims
 
 
+def latticify_tail(ml: MultiLevel, max_rows: int = 300_000) -> MultiLevel:
+    """Direct (proxy-free) lattice extraction of small generic levels.
+
+    Below the proxy-extrapolation cut the actual scipy matrices exist and
+    are small, so ``extract_spec`` runs directly on them (O(nnz), exact
+    round-trip verified).  Converted levels lower to gather-free Lat2D
+    device operators — and fused Pallas legs — just like the big ones."""
+    from .structured import detect_lattice_dims
+
+    for lvl, level in enumerate(ml.levels):
+        if isinstance(level.A, LatticeMatrix) or not sp.issparse(level.A):
+            continue
+        A = sp.csr_matrix(level.A)
+        if A.shape[0] > max_rows or A.shape[0] < 64:
+            continue
+        det = detect_lattice_dims(sp.csc_matrix(A))
+        if det is None:
+            continue
+        dims = det
+        nc = level.P.shape[1]
+        cd = None
+        for cand in _coarse_dim_candidates(dims, nc):
+            sP = extract_spec(sp.csr_matrix(level.P), dims, cand)
+            if sP is None:
+                continue
+            sR = extract_spec(sp.csr_matrix(level.R), cand, dims)
+            if sR is None:
+                continue
+            cd = (cand, sP, sR)
+            break
+        if cd is None:
+            continue
+        sA = extract_spec(A, dims, dims)
+        if sA is None:
+            continue
+        cand, sP, sR = cd
+        level.A = LatticeMatrix(sA)
+        level.P = LatticeMatrix(sP)
+        level.R = LatticeMatrix(sR)
+    return ml
+
+
 def _splice(problem, fast_levels, tail, dtype):
-    return MultiLevel(
+    ml = MultiLevel(
         levels=fast_levels + tail.levels,
         final_A=tail.final_A,
         coarse_solver=tail.coarse_solver,
         symmetry=HermitianSymmetry(),
         dtype=dtype,
     )
+    return latticify_tail(ml)
 
 
 def _too_small(problem, pdims, cut_rows, min_proxy_dim):

@@ -109,3 +109,21 @@ def test_structured_sa_custom_B_falls_back():
     # fallback = generic assembly; still a working hierarchy
     x = amg.solve_mg(ml, LP @ np.ones(64 * 64), reltol=1e-8)
     assert np.abs(x - 1).max() < 1e-5
+
+
+def test_latticify_tail_converts_and_solves():
+    # below the proxy cut the real matrices are small enough for direct
+    # (proxy-free) extraction — they must convert and solve identically
+    from algebraicmultigrid_tpu.models.lattice import LatticeMatrix
+
+    N = 384
+    LP = amg.poisson((N, N), lattice=True)
+    ml = amg.structured_smoothed_aggregation(
+        LP, proxy=48, cut_rows=2000, min_proxy_dim=10,
+        aggregate=amg.StructuredAggregation(box=3),
+    )
+    kinds = [isinstance(l.A, LatticeMatrix) for l in ml.levels]
+    assert sum(kinds) >= 2, kinds  # at least one direct-extracted tail level
+    b = LP @ np.ones(N * N)
+    x, res = amg.solve_mg(ml, b, reltol=1e-8, log=True, maxiter=60)
+    assert res[-1] < 1e-8 * res[0]
