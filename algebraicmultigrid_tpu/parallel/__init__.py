@@ -4,3 +4,4 @@ from .dist import (
     shard_hierarchy,
     solve_sharded,
 )
+from .halo import lat2d_spmv_halo, shard_slab

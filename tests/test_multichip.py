@@ -100,3 +100,22 @@ def test_sharded_lattice_hierarchy_solves():
     )
     assert nr <= 1e-6 * np.linalg.norm(b)
     assert np.abs(x - 1).max() < 1e-4
+
+
+@needs_devices
+@pytest.mark.multichip
+def test_halo_exchange_spmv_matches():
+    """Explicit ppermute halo exchange (survey §2.13): slab-sharded Lat2D
+    stencil apply equals the single-device apply exactly."""
+    from algebraicmultigrid_tpu.parallel import lat2d_spmv_halo
+    from algebraicmultigrid_tpu.ops.lattice_op import lat2d_from_spec, lat2d_spmv
+    import jax.numpy as jnp
+
+    N = 128
+    LP = amg.poisson((N, N), lattice=True)
+    A = lat2d_from_spec(LP.spec, jnp.float32)
+    mesh = make_row_mesh(8)
+    x = np.random.default_rng(0).standard_normal(N * N).astype(np.float32)
+    y_ref = np.asarray(lat2d_spmv(A, jnp.asarray(x)))[: N * N]
+    y = np.asarray(lat2d_spmv_halo(A, jnp.asarray(x), mesh))
+    assert np.abs(y - y_ref).max() == 0.0
