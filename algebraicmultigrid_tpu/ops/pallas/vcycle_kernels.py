@@ -84,7 +84,7 @@ def _tile_with_halo(plane: np.ndarray, gx, gy, TX, TY, Hx, Hy):
 
 def build_fused_leg_cache(
     specA, specR, specP, color_grid: np.ndarray, n_colors: int, dtype,
-    omega, iters, fwd, bwd, interpret: bool = False,
+    omega, iters, fwd, bwd, interpret: bool = False, coef_dtype=None,
 ):
     """Pre-tile A/dinv/R/P for the fused leg kernels; None if the level's
     shape isn't supported (ratios, sizes, VMEM)."""
@@ -127,19 +127,35 @@ def build_fused_leg_cache(
     if k * Hcx < Hfx + k * reachP or k * Hcy < Hfy + k * reachP:
         return None
 
-    # VMEM estimate (double-buffered inputs + outputs); shrink TX to fit
+    # VMEM estimate (double-buffered inputs + outputs); shrink TX to fit.
+    # Coefficient planes may be stored at a narrower dtype (bf16): AMG
+    # coefficients carry ~3 significant digits of information content —
+    # the cycle is a preconditioner, and solve_refined's f64 outer loop
+    # absorbs the perturbation.  x/b/dinv stay at the working dtype.
+    import jax.numpy as _jnp
+
+    if coef_dtype is None:
+        import os as _os
+
+        coef_dtype = (
+            _jnp.bfloat16
+            if _os.environ.get("AMG_COEF_DTYPE", "") == "bfloat16"
+            else dtype
+        )
     nA, nR, nP = len(specA.offsets), len(specR.offsets), len(specP.offsets)
     item = np.dtype(dtype).itemsize
+    item_c = np.dtype(coef_dtype).itemsize
 
     def vmem_need(tx):
         bx, by = tx + 2 * Hfx, TY + 2 * Hfy
         txc, tyc = tx // k, TY // k
-        return 2 * item * (
-            (nA + nP + 2) * bx * by
-            + nR * txc * tyc
-            + (txc + 2 * Hcx) * (tyc + 2 * Hcy)
-            + tx * TY
-            + txc * tyc
+        return 2 * (
+            item * 2 * bx * by
+            + item_c * (nA + nP + 1) * bx * by
+            + item * nR * txc * tyc
+            + item * (txc + 2 * Hcx) * (tyc + 2 * Hcy)
+            + item * tx * TY
+            + item * txc * tyc
         )
 
     while vmem_need(TX) > 12 * 2**20 and TX > 8 * k:
@@ -154,9 +170,10 @@ def build_fused_leg_cache(
     gx = -(-Wx // TX)
     gy = -(-Wy // TY)
 
-    A_tiled = np.zeros((gx, gy, nA, BX, BY), dtype=dtype)
+    cnp = np.float32 if coef_dtype == _jnp.bfloat16 else np.dtype(coef_dtype)
+    A_tiled = np.zeros((gx, gy, nA, BX, BY), dtype=cnp)
     for kk in range(nA):
-        A_tiled[:, :, kk] = _tile_with_halo(specA.expand(kk, dtype=dtype), gx, gy, TX, TY, Hfx, Hfy)
+        A_tiled[:, :, kk] = _tile_with_halo(specA.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
     diag = specA.diagonal().reshape(Wx, Wy)
     dv = np.zeros((Wx, Wy), dtype=dtype)
     nz = diag != 0
@@ -166,15 +183,15 @@ def build_fused_leg_cache(
     R_tiled = np.zeros((gx, gy, nR, TXc, TYc), dtype=dtype)
     for kk in range(nR):
         R_tiled[:, :, kk] = _tile_with_halo(specR.expand(kk, dtype=dtype), gx, gy, TXc, TYc, 0, 0)
-    P_tiled = np.zeros((gx, gy, nP, BX, BY), dtype=dtype)
+    P_tiled = np.zeros((gx, gy, nP, BX, BY), dtype=cnp)
     for kk in range(nP):
-        P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=dtype), gx, gy, TX, TY, Hfx, Hfy)
+        P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
 
     return FusedLegCache(
-        A_tiled=jnp.asarray(A_tiled),
+        A_tiled=jnp.asarray(A_tiled, dtype=coef_dtype),
         dinv_tiled=jnp.asarray(dinv_tiled),
         R_tiled=jnp.asarray(R_tiled),
-        P_tiled=jnp.asarray(P_tiled),
+        P_tiled=jnp.asarray(P_tiled, dtype=coef_dtype),
         offsA=specA.offsets,
         offsR=specR.offsets,
         offsP=specP.offsets,
@@ -288,7 +305,7 @@ def _down_kernel(
     L = x_ref[0, 0]
     B = b_ref[0, 0]
     D = d_ref[0, 0]
-    A = a_ref[0, 0]
+    A = a_ref[0, 0].astype(L.dtype)
 
     L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
     xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
@@ -332,7 +349,7 @@ def fused_down(cache: FusedLegCache, x, b):
     gx, gy = cache.grid
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
-    dtype = cache.A_tiled.dtype
+    dtype = cache.dinv_tiled.dtype
     n = Wx * Wy
 
     Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
@@ -401,7 +418,7 @@ def _up_kernel(
     L = x_ref[0, 0]
     B = b_ref[0, 0]
     D = d_ref[0, 0]
-    A = a_ref[0, 0]
+    A = a_ref[0, 0].astype(L.dtype)
     XC = xc_ref[0, 0]
 
     # prolong-correct: fine local f reads coarse (f − Hf)//k + δ + Hc.
@@ -414,7 +431,7 @@ def _up_kernel(
         sx = k * (dx + Hcx) - Hfx
         sy = k * (dy + Hcy) - Hfy
         src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
-        term = p_ref[0, 0, kk] * src
+        term = p_ref[0, 0, kk].astype(L.dtype) * src
         corr = term if corr is None else corr + term
     L = L + corr
 
@@ -433,7 +450,7 @@ def fused_up(cache: FusedLegCache, x, b, xc):
     gx, gy = cache.grid
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
-    dtype = cache.A_tiled.dtype
+    dtype = cache.dinv_tiled.dtype
     n = Wx * Wy
     nc = Wxc * Wyc
 

@@ -20,6 +20,7 @@ Environment knobs:
   AMG_BENCH_DTYPE    float32 (default) | float64
   AMG_BENCH_CYCLES   timed V-cycles for the throughput section (default 20)
   AMG_BENCH_METHOD   sa (default) | rs
+  AMG_COEF_DTYPE     bfloat16 (default) | float32 — fused-leg A/P storage
 """
 
 from __future__ import annotations
@@ -36,6 +37,12 @@ def main():
     # persistent compilation cache: amortises the one-time XLA compile of the
     # fused cycle across bench runs (same shapes → cache hit)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/amg_jax_cache")
+    # flagship config stores A/P coefficient planes in bf16 inside the fused
+    # Pallas legs (halves their VMEM footprint/traffic; x, b, dinv stay f32).
+    # Convergence is unaffected: the cycle is a preconditioner and the f64
+    # outer refinement absorbs the perturbation (tests/test_fused_legs.py).
+    # Override with AMG_COEF_DTYPE=float32.
+    os.environ.setdefault("AMG_COEF_DTYPE", "bfloat16")
     import jax
     import jax.numpy as jnp
 

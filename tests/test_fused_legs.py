@@ -79,3 +79,40 @@ def test_fused_down_up_roundtrip(fused_pair):
     assert np.abs(np.asarray(xd) - np.asarray(xs)).max() / sc < 1e-5
     sc2 = max(np.abs(bc_ref).max(), 1e-30)
     assert np.abs(np.asarray(bc)[: bc_ref.shape[0]] - bc_ref).max() / sc2 < 1e-5
+
+
+def test_bf16_coefficient_storage_converges():
+    """bf16 A/P coefficient planes halve VMEM traffic; the perturbed cycle
+    is still an effective preconditioner — solve_refined's f64 outer loop
+    absorbs the ~1e-2 per-application error (ref: survey §7 mixed-precision
+    stance; no reference counterpart — CUDA reference is fp64-only)."""
+    from algebraicmultigrid_tpu.models.device import (
+        build_device_hierarchy,
+        solve_refined,
+    )
+
+    os.environ["AMG_PALLAS_FUSED"] = "1"
+    os.environ["AMG_COEF_DTYPE"] = "bfloat16"
+    try:
+        N = 192
+        LP = amg.poisson((N, N), lattice=True)
+        ml = amg.structured_smoothed_aggregation(
+            LP, proxy=64, cut_rows=2000, min_proxy_dim=16,
+            aggregate=amg.StructuredAggregation(box=3),
+        )
+        h = build_device_hierarchy(ml, dtype=jnp.float32)
+        c = h.levels[0].fused
+        assert c is not None and c.A_tiled.dtype == jnp.bfloat16
+        assert c.P_tiled.dtype == jnp.bfloat16
+        assert c.dinv_tiled.dtype == jnp.float32  # working dtype untouched
+
+        n = N * N
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(n)
+        x, hist = solve_refined(ml, b, tol=1e-10, log=True)
+        A = ml.levels[0].A
+        relres = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+        assert relres < 1e-9
+    finally:
+        os.environ.pop("AMG_PALLAS_FUSED", None)
+        os.environ.pop("AMG_COEF_DTYPE", None)
