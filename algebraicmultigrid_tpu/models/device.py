@@ -352,6 +352,45 @@ def _build_smoother_cache(config, A_csr, A_dev, dtype, colors=None, sym=False):
     raise TypeError(f"unknown smoother config {config!r}")
 
 
+def _lattice_diag_plane(Td, cx, cy):
+    """[Wx, Wy] diagonal plane from the diag-offset class table — one-hot MXU
+    matmuls, exact selection (see ops/lattice_op.expand_planes_device)."""
+    Ex = (cx[:, None] == jnp.arange(Td.shape[0], dtype=cx.dtype)).astype(Td.dtype)
+    Ey = (cy[:, None] == jnp.arange(Td.shape[1], dtype=cy.dtype)).astype(Td.dtype)
+    return jnp.einsum(
+        "xc,cd,yd->xy", Ex, Td, Ey, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+@partial(jax.jit, static_argnames=("rows_padded", "dtype_name"))
+def _lattice_jacobi_dinv_jit(Td, cx, cy, *, rows_padded, dtype_name):
+    dt = jnp.dtype(dtype_name)
+    diag = _lattice_diag_plane(Td, cx, cy)
+    dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
+    dv = dv.astype(dt).ravel()
+    return jnp.pad(dv, (0, rows_padded - dv.shape[0]))
+
+
+@partial(jax.jit, static_argnames=("rows_padded", "n_colors", "dtype_name"))
+def _lattice_masked_arrays_jit(Td, cx, cy, grid, *, rows_padded, n_colors, dtype_name):
+    """color_of + dinv for a lattice level built ON DEVICE: uploads the tiny
+    diag table, two O(W) class vectors and the (a, b) color tile instead of
+    two O(n) arrays (a tunnel POST each on axon)."""
+    dt = jnp.dtype(dtype_name)
+    Wx, Wy = cx.shape[0], cy.shape[0]
+    diag = _lattice_diag_plane(Td, cx, cy)
+    a, b = grid.shape
+    colors = jnp.tile(grid, (-(-Wx // a), -(-Wy // b)))[:Wx, :Wy]
+    active = diag != 0
+    dinv = jnp.where(active, 1.0 / jnp.where(active, diag, 1.0), 0.0).astype(dt).ravel()
+    col = jnp.where(active, colors, n_colors).astype(jnp.int32).ravel()
+    nn = Wx * Wy
+    return (
+        jnp.pad(col, (0, rows_padded - nn), constant_values=n_colors),
+        jnp.pad(dinv, (0, rows_padded - nn)),
+    )
+
+
 def _build_lattice_smoother_cache(config, A_lat, A_dev, dtype):
     """O(boundary) smoother caches for lattice levels: periodic torus
     coloring + diagonal expansion, no O(nnz) graph analysis."""
@@ -360,12 +399,38 @@ def _build_lattice_smoother_cache(config, A_lat, A_dev, dtype):
     spec = A_lat.spec
     rows_padded = A_dev.rows_padded
     n = A_lat.shape[0]
-    diag = spec.diagonal().astype(dtype)
+    host_expand = (
+        np.dtype(spec.table.dtype).kind != "f"
+        or os.environ.get("AMG_HOST_EXPAND") == "1"
+    )
+
+    def _diag_table():
+        try:
+            di = spec.offsets.index((0, 0))
+        except ValueError:
+            di = -1
+        comp = np.float32 if jnp.dtype(dtype).itemsize <= 4 else np.dtype(dtype)
+        if di >= 0:
+            return di, np.asarray(spec.table[di], dtype=comp)
+        return di, np.zeros(spec.table.shape[1:], dtype=comp)
 
     if isinstance(config, Jacobi):
-        dinv = np.zeros(rows_padded, dtype=dtype)
-        dinv[:n] = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1), 0.0)
-        return JacobiCache(dinv=jnp.asarray(dinv), omega=float(config.omega), iter=config.iter)
+        if host_expand:
+            diag = spec.diagonal().astype(dtype)
+            dv = np.zeros(rows_padded, dtype=dtype)
+            dv[:n] = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1), 0.0)
+            dinv = jnp.asarray(dv)
+        else:
+            cx, cy = spec.row_class_arrays()
+            _, Td = _diag_table()
+            dinv = _lattice_jacobi_dinv_jit(
+                jnp.asarray(Td),
+                jnp.asarray(cx.astype(np.int32)),
+                jnp.asarray(cy.astype(np.int32)),
+                rows_padded=rows_padded,
+                dtype_name=jnp.dtype(dtype).name,
+            )
+        return JacobiCache(dinv=dinv, omega=float(config.omega), iter=config.iter)
 
     if isinstance(config, (GaussSeidel, SOR)) and config.ordering == "multicolor":
         got = lattice_coloring(spec)
@@ -391,15 +456,44 @@ def _build_lattice_smoother_cache(config, A_lat, A_dev, dtype):
 
         a, b = grid.shape
         Wx, Wy = spec.row_dims
-        colors = grid[(np.arange(Wx) % a)[:, None], (np.arange(Wy) % b)[None, :]].ravel()
-        color_of = np.full(rows_padded, n_colors, dtype=np.int32)
-        active = diag != 0
-        color_of[:n] = np.where(active, colors, n_colors)
-        dinv = np.zeros(rows_padded, dtype=dtype)
-        dinv[:n] = np.where(active, 1.0 / np.where(active, diag, 1), 0.0)
+        if host_expand:
+            diag = spec.diagonal().astype(dtype)
+            colors = grid[(np.arange(Wx) % a)[:, None], (np.arange(Wy) % b)[None, :]].ravel()
+            color_of = np.full(rows_padded, n_colors, dtype=np.int32)
+            active = diag != 0
+            color_of[:n] = np.where(active, colors, n_colors)
+            dinv = np.zeros(rows_padded, dtype=dtype)
+            dinv[:n] = np.where(active, 1.0 / np.where(active, diag, 1), 0.0)
+            col_dev, dinv_dev = jnp.asarray(color_of), jnp.asarray(dinv)
+            active_all = bool(active.all())
+        else:
+            from .lattice import class_populations
+
+            cx, cy = spec.row_class_arrays()
+            diag_idx, Td = _diag_table()
+            col_dev, dinv_dev = _lattice_masked_arrays_jit(
+                jnp.asarray(Td),
+                jnp.asarray(cx.astype(np.int32)),
+                jnp.asarray(cy.astype(np.int32)),
+                jnp.asarray(np.asarray(grid, dtype=np.int32)),
+                rows_padded=rows_padded,
+                n_colors=n_colors,
+                dtype_name=jnp.dtype(dtype).name,
+            )
+            # table-level activity check (a zero diag entry only deactivates
+            # rows if its boundary class is populated at this size)
+            px = class_populations(Wx, spec.Kx, spec.sx)
+            py = class_populations(Wy, spec.Ky, spec.sy)
+            if diag_idx >= 0:
+                dtab = np.asarray(spec.table[diag_idx])
+                active_all = bool(
+                    np.all((dtab != 0) | (px[:, None] == 0) | (py[None, :] == 0))
+                )
+            else:
+                active_all = n == 0
         masked = MaskedMulticolorCache(
-            color_of=jnp.asarray(color_of),
-            dinv=jnp.asarray(dinv),
+            color_of=col_dev,
+            dinv=dinv_dev,
             n_colors=n_colors,
             omega=omega,
             iter=config.iter,
@@ -412,7 +506,7 @@ def _build_lattice_smoother_cache(config, A_lat, A_dev, dtype):
         # explicitly requested (AMG_PALLAS_GS=1 on CPU — far too slow as a
         # test-suite default)
         use_pallas = (
-            bool(active.all())
+            active_all
             and (flag == "1" or (flag != "0" and on_tpu))
             and os.environ.get("_AMG_SKIP_PALLAS_GS") != "1"
         )

@@ -17,6 +17,7 @@ SDIA cannot express.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import numpy as np
@@ -26,7 +27,46 @@ import jax.numpy as jnp
 
 from .sparse import round_up
 
-__all__ = ["Lat2D", "lat2d_from_spec"]
+__all__ = ["Lat2D", "lat2d_from_spec", "expand_planes_device"]
+
+
+@functools.partial(jax.jit, static_argnames=("ncx", "ncy", "out_dtype"))
+def _expand_planes_jit(T, cx, cy, *, ncx, ncy, out_dtype):
+    """[n_off, Wx, Wy] planes from the class table: plane[k,i,j] =
+    T[k, cx[i], cy[j]] realised as two one-hot matmuls on the MXU.  Each
+    one-hot row has exactly one 1.0, so with HIGHEST precision the matmul
+    copies table entries exactly — no gathers, O(W) operands."""
+    Ex = (cx[:, None] == jnp.arange(ncx, dtype=cx.dtype)).astype(T.dtype)
+    Ey = (cy[:, None] == jnp.arange(ncy, dtype=cy.dtype)).astype(T.dtype)
+    planes = jnp.einsum(
+        "xc,kcd,yd->kxy", Ex, T, Ey, precision=jax.lax.Precision.HIGHEST
+    )
+    return planes.astype(out_dtype)
+
+
+def expand_planes_device(spec, dtype) -> jax.Array:
+    """Device-side LatticeSpec.expand_all: uploads the O(K+s) table and two
+    O(W) class-index vectors instead of O(n) expanded planes — the host↔device
+    transfer (a tunnel POST on axon) and the O(n) host memset both disappear.
+    Falls back to the host path for exotic table dtypes."""
+    dt = jnp.dtype(dtype)
+    if np.dtype(spec.table.dtype).kind != "f" or dt.kind != "f":
+        return jnp.asarray(spec.expand_all(dtype=dtype))
+    # convert the (tiny) table to the target dtype on host — identical
+    # rounding to the host path's expand(dtype=...); bf16 storage computes
+    # in f32 and casts at the end.
+    comp = np.float32 if dt.itemsize <= 4 else np.dtype(dtype)
+    cx, cy = spec.row_class_arrays()
+    n_off, ncx, ncy = spec.table.shape
+    T = jnp.asarray(np.asarray(spec.table, dtype=comp))
+    return _expand_planes_jit(
+        T,
+        jnp.asarray(cx.astype(np.int32)),
+        jnp.asarray(cy.astype(np.int32)),
+        ncx=ncx,
+        ncy=ncy,
+        out_dtype=dt.name,
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -52,9 +92,8 @@ def lat2d_from_spec(spec, dtype, row_pad: int = 8) -> Lat2D:
     no graph analysis)."""
     WxR, WyR = spec.row_dims
     n_r = WxR * WyR
-    data = spec.expand_all(dtype=dtype)  # fill directly at device dtype
     return Lat2D(
-        data=jnp.asarray(data),
+        data=expand_planes_device(spec, dtype),
         offsets=spec.offsets,
         row_dims=(WxR, WyR),
         col_dims=tuple(spec.col_dims),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import numpy as np
@@ -62,6 +63,29 @@ class PallasGSCache:
 def _pick_tile(W: int, target: int, quantum: int) -> int:
     t = min(target, -(-W // quantum) * quantum)
     return max(t, quantum)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gx", "gy", "TX", "TY", "Hx", "Hy", "diag_idx", "dtype_name"),
+)
+def _build_gs_tiles_jit(T, cx, cy, *, gx, gy, TX, TY, Hx, Hy, diag_idx, dtype_name):
+    """Expand the class table to planes ON DEVICE and pre-tile with
+    duplicated halos, in one compiled program (exact one-hot selection)."""
+    from .vcycle_kernels import _tile_plane
+
+    dt = jnp.dtype(dtype_name)
+    Ex = (cx[:, None] == jnp.arange(T.shape[1], dtype=cx.dtype)).astype(T.dtype)
+    Ey = (cy[:, None] == jnp.arange(T.shape[2], dtype=cy.dtype)).astype(T.dtype)
+    planes = jnp.einsum(
+        "xc,kcd,yd->kxy", Ex, T, Ey, precision=jax.lax.Precision.HIGHEST
+    )
+    tile_f = lambda p: _tile_plane(p, gx, gy, TX, TY, Hx, Hy)
+    A_tiled = jnp.moveaxis(jax.vmap(tile_f)(planes), 0, 2).astype(dt)
+    diag = planes[diag_idx] if diag_idx >= 0 else jnp.zeros(planes.shape[1:], planes.dtype)
+    dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0).astype(dt)
+    dinv_tiled = tile_f(dv)
+    return A_tiled, dinv_tiled
 
 
 def build_pallas_gs_cache(
@@ -105,28 +129,49 @@ def build_pallas_gs_cache(
     n_off = len(spec.offsets)
     BX, BY = TX + 2 * Hx, TY + 2 * Hy
     gx, gy = WxT // TX, WyT // TY
-    A_pad = np.zeros((n_off, WxT + 2 * Hx, WyT + 2 * Hy), dtype=dtype)
-    for k in range(n_off):
-        A_pad[k, Hx : Hx + Wx, Hy : Hy + Wy] = spec.expand(k, dtype=dtype)
-    diag = spec.diagonal().reshape(Wx, Wy)
-    dinv = np.zeros((WxT + 2 * Hx, WyT + 2 * Hy), dtype=dtype)
-    nzd = diag != 0
-    dinv[Hx : Hx + Wx, Hy : Hy + Wy] = np.where(nzd, 1.0 / np.where(nzd, diag, 1), 0.0)
-
     # pre-tile with duplicated halos: tiles become NON-overlapping blocks of
     # the tiled arrays, so the standard pipelined BlockSpec path applies
     # (index maps are block-units in this JAX; overlapping windows can't be
     # expressed, and manual per-tile DMA forfeits Mosaic's double buffering)
-    winA = np.lib.stride_tricks.sliding_window_view(A_pad, (BX, BY), axis=(1, 2))
-    A_tiled = np.ascontiguousarray(
-        winA[:, ::TX, ::TY].transpose(1, 2, 0, 3, 4)
+    host_expand = (
+        np.dtype(spec.table.dtype).kind != "f"
+        or os.environ.get("AMG_HOST_EXPAND") == "1"
     )
-    winD = np.lib.stride_tricks.sliding_window_view(dinv, (BX, BY))
-    dinv_tiled = np.ascontiguousarray(winD[::TX, ::TY])
+    if host_expand:
+        A_pad = np.zeros((n_off, WxT + 2 * Hx, WyT + 2 * Hy), dtype=dtype)
+        for k in range(n_off):
+            A_pad[k, Hx : Hx + Wx, Hy : Hy + Wy] = spec.expand(k, dtype=dtype)
+        diag = spec.diagonal().reshape(Wx, Wy)
+        dinv = np.zeros((WxT + 2 * Hx, WyT + 2 * Hy), dtype=dtype)
+        nzd = diag != 0
+        dinv[Hx : Hx + Wx, Hy : Hy + Wy] = np.where(nzd, 1.0 / np.where(nzd, diag, 1), 0.0)
+        winA = np.lib.stride_tricks.sliding_window_view(A_pad, (BX, BY), axis=(1, 2))
+        A_tiled = jnp.asarray(
+            np.ascontiguousarray(winA[:, ::TX, ::TY].transpose(1, 2, 0, 3, 4))
+        )
+        winD = np.lib.stride_tricks.sliding_window_view(dinv, (BX, BY))
+        dinv_tiled = jnp.asarray(np.ascontiguousarray(winD[::TX, ::TY]))
+    else:
+        # device-side expansion + tiling: O(W) uploads instead of O(n)
+        # (see ops/lattice_op.expand_planes_device for the one-hot scheme)
+        try:
+            diag_idx = spec.offsets.index((0, 0))
+        except ValueError:
+            diag_idx = -1
+        comp = np.float32 if jnp.dtype(dtype).itemsize <= 4 else np.dtype(dtype)
+        cx, cy = spec.row_class_arrays()
+        A_tiled, dinv_tiled = _build_gs_tiles_jit(
+            jnp.asarray(np.asarray(spec.table, dtype=comp)),
+            jnp.asarray(cx.astype(np.int32)),
+            jnp.asarray(cy.astype(np.int32)),
+            gx=gx, gy=gy, TX=TX, TY=TY, Hx=Hx, Hy=Hy,
+            diag_idx=diag_idx,
+            dtype_name=jnp.dtype(dtype).name,
+        )
 
     return PallasGSCache(
-        A_tiled=jnp.asarray(A_tiled),
-        dinv_tiled=jnp.asarray(dinv_tiled),
+        A_tiled=A_tiled,
+        dinv_tiled=dinv_tiled,
         fallback=fallback,
         offsets=spec.offsets,
         color_grid=tuple(tuple(int(c) for c in row) for row in np.asarray(color_grid)),

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import numpy as np
@@ -80,6 +81,60 @@ def _tile_with_halo(plane: np.ndarray, gx, gy, TX, TY, Hx, Hy):
     pad[Hx : Hx + plane.shape[0], Hy : Hy + plane.shape[1]] = plane
     win = np.lib.stride_tricks.sliding_window_view(pad, (BX, BY))
     return np.ascontiguousarray(win[::TX, ::TY])
+
+
+def _tile_plane(p, gx, gy, TX, TY, Hx, Hy):
+    """Device-side _tile_with_halo: static slice stacks, fused by XLA."""
+    BX, BY = TX + 2 * Hx, TY + 2 * Hy
+    g = jnp.pad(p, ((Hx, Hx + gx * TX - p.shape[0]), (Hy, Hy + gy * TY - p.shape[1])))
+    slabs = jnp.stack(
+        [jax.lax.slice_in_dim(g, i * TX, i * TX + BX, axis=0) for i in range(gx)]
+    )
+    return jnp.stack(
+        [jax.lax.slice_in_dim(slabs, j * TY, j * TY + BY, axis=2) for j in range(gy)],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "gx", "gy", "TX", "TY", "Hfx", "Hfy", "TXc", "TYc",
+        "diag_idx", "dtype_name", "coef_name",
+    ),
+)
+def _build_tiles_jit(
+    TA, cxA, cyA, TR, cxR, cyR, TP, cxP, cyP, *,
+    gx, gy, TX, TY, Hfx, Hfy, TXc, TYc, diag_idx, dtype_name, coef_name,
+):
+    """Expand the class tables to planes ON DEVICE (one-hot MXU matmuls —
+    exact selection, see ops/lattice_op.expand_planes_device) and pre-tile
+    them for the leg kernels, all in one compiled program."""
+    dt = jnp.dtype(dtype_name)
+    ct = jnp.dtype(coef_name)
+
+    def planes(T, cx, cy):
+        Ex = (cx[:, None] == jnp.arange(T.shape[1], dtype=cx.dtype)).astype(T.dtype)
+        Ey = (cy[:, None] == jnp.arange(T.shape[2], dtype=cy.dtype)).astype(T.dtype)
+        return jnp.einsum(
+            "xc,kcd,yd->kxy", Ex, T, Ey, precision=jax.lax.Precision.HIGHEST
+        )
+
+    tile_f = lambda p: _tile_plane(p, gx, gy, TX, TY, Hfx, Hfy)
+
+    pA = planes(TA, cxA, cyA)
+    A_tiled = jnp.moveaxis(jax.vmap(tile_f)(pA), 0, 2).astype(ct)
+    diag = pA[diag_idx] if diag_idx >= 0 else jnp.zeros(pA.shape[1:], pA.dtype)
+    dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0).astype(dt)
+    dinv_tiled = tile_f(dv)
+
+    pR = planes(TR, cxR, cyR).astype(dt)
+    R_tiled = jnp.moveaxis(
+        jax.vmap(lambda p: _tile_plane(p, gx, gy, TXc, TYc, 0, 0))(pR), 0, 2
+    )
+    pP = planes(TP, cxP, cyP)
+    P_tiled = jnp.moveaxis(jax.vmap(tile_f)(pP), 0, 2).astype(ct)
+    return A_tiled, dinv_tiled, R_tiled, P_tiled
 
 
 def build_fused_leg_cache(
@@ -171,27 +226,58 @@ def build_fused_leg_cache(
     gy = -(-Wy // TY)
 
     cnp = np.float32 if coef_dtype == _jnp.bfloat16 else np.dtype(coef_dtype)
-    A_tiled = np.zeros((gx, gy, nA, BX, BY), dtype=cnp)
-    for kk in range(nA):
-        A_tiled[:, :, kk] = _tile_with_halo(specA.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
-    diag = specA.diagonal().reshape(Wx, Wy)
-    dv = np.zeros((Wx, Wy), dtype=dtype)
-    nz = diag != 0
-    dv[nz] = 1.0 / diag[nz]
-    dinv_tiled = _tile_with_halo(dv, gx, gy, TX, TY, Hfx, Hfy)
-
-    R_tiled = np.zeros((gx, gy, nR, TXc, TYc), dtype=dtype)
-    for kk in range(nR):
-        R_tiled[:, :, kk] = _tile_with_halo(specR.expand(kk, dtype=dtype), gx, gy, TXc, TYc, 0, 0)
-    P_tiled = np.zeros((gx, gy, nP, BX, BY), dtype=cnp)
-    for kk in range(nP):
-        P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
+    host_expand = (
+        np.dtype(specA.table.dtype).kind != "f"
+        or os.environ.get("AMG_HOST_EXPAND") == "1"
+    )
+    if host_expand:
+        # host fallback: O(n) expand + full-plane upload (exotic dtypes, debug)
+        A_tiled = np.zeros((gx, gy, nA, BX, BY), dtype=cnp)
+        for kk in range(nA):
+            A_tiled[:, :, kk] = _tile_with_halo(specA.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
+        diag = specA.diagonal().reshape(Wx, Wy)
+        dv = np.zeros((Wx, Wy), dtype=dtype)
+        nz = diag != 0
+        dv[nz] = 1.0 / diag[nz]
+        dinv_tiled = jnp.asarray(_tile_with_halo(dv, gx, gy, TX, TY, Hfx, Hfy))
+        R_tiled = np.zeros((gx, gy, nR, TXc, TYc), dtype=dtype)
+        for kk in range(nR):
+            R_tiled[:, :, kk] = _tile_with_halo(specR.expand(kk, dtype=dtype), gx, gy, TXc, TYc, 0, 0)
+        P_tiled = np.zeros((gx, gy, nP, BX, BY), dtype=cnp)
+        for kk in range(nP):
+            P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
+        A_tiled = jnp.asarray(A_tiled, dtype=coef_dtype)
+        R_tiled = jnp.asarray(R_tiled)
+        P_tiled = jnp.asarray(P_tiled, dtype=coef_dtype)
+    else:
+        # device-side expansion + tiling: upload only the O(K+s) tables and
+        # O(W) class vectors — the O(n) host memset and the full-plane
+        # host→device transfer (a tunnel POST on axon) both disappear.
+        try:
+            diag_idx = specA.offsets.index((0, 0))
+        except ValueError:
+            diag_idx = -1
+        cxA, cyA = specA.row_class_arrays()
+        cxR, cyR = specR.row_class_arrays()
+        cxP, cyP = specP.row_class_arrays()
+        A_tiled, dinv_tiled, R_tiled, P_tiled = _build_tiles_jit(
+            jnp.asarray(np.asarray(specA.table, dtype=cnp)),
+            jnp.asarray(cxA.astype(np.int32)), jnp.asarray(cyA.astype(np.int32)),
+            jnp.asarray(np.asarray(specR.table, dtype=cnp)),
+            jnp.asarray(cxR.astype(np.int32)), jnp.asarray(cyR.astype(np.int32)),
+            jnp.asarray(np.asarray(specP.table, dtype=cnp)),
+            jnp.asarray(cxP.astype(np.int32)), jnp.asarray(cyP.astype(np.int32)),
+            gx=gx, gy=gy, TX=TX, TY=TY, Hfx=Hfx, Hfy=Hfy, TXc=TXc, TYc=TYc,
+            diag_idx=diag_idx,
+            dtype_name=jnp.dtype(dtype).name,
+            coef_name=jnp.dtype(coef_dtype).name,
+        )
 
     return FusedLegCache(
-        A_tiled=jnp.asarray(A_tiled, dtype=coef_dtype),
-        dinv_tiled=jnp.asarray(dinv_tiled),
-        R_tiled=jnp.asarray(R_tiled),
-        P_tiled=jnp.asarray(P_tiled, dtype=coef_dtype),
+        A_tiled=A_tiled,
+        dinv_tiled=dinv_tiled,
+        R_tiled=R_tiled,
+        P_tiled=P_tiled,
         offsA=specA.offsets,
         offsR=specR.offsets,
         offsP=specP.offsets,

@@ -109,3 +109,20 @@ def test_log_and_verbose(capsys):
     assert res[0] == np.linalg.norm(b)
     assert all(np.diff(np.log10(np.array(res[:-1]) + 1e-300)) < 0)
     assert "Norm of residual" in capsys.readouterr().out
+
+
+def test_3d_poisson_solves():
+    """N-D gallery parity (ref gallery.jl:1-63 supports poisson((nx,ny,nz)));
+    both setup families must converge on a 3-D operator through the generic
+    (non-lattice) pipeline."""
+    import numpy as np
+    import algebraicmultigrid_tpu as amg
+
+    A = amg.poisson((10, 10, 10))
+    n = A.shape[0]
+    b = A @ np.ones(n)
+    for build in (amg.ruge_stuben, amg.smoothed_aggregation):
+        ml = build(A)
+        x, res = amg.solve_mg(ml, b, reltol=1e-8, log=True)
+        assert np.linalg.norm(b - A @ x) <= 1e-8 * np.linalg.norm(b) * 1.01
+        assert np.abs(x - 1).max() < 1e-6
