@@ -265,14 +265,27 @@ def _extend_hierarchy_sa(
     # 6. Galerkin product
     RAP = as_csc((R @ (A_csr @ P)).tocsc())
 
-    levels.append(
-        Level(
-            A=A_csr,
-            P=as_csr(P),
-            R=R,
-            presmoother_config=presmoother,
-            postsmoother_config=postsmoother,
-            symmetry=symmetry,
-        )
+    level = Level(
+        A=A_csr,
+        P=as_csr(P),
+        R=R,
+        presmoother_config=presmoother,
+        postsmoother_config=postsmoother,
+        symmetry=symmetry,
     )
+    # Factored-prolongator stash: with the default LocalWeighting degree-1
+    # Jacobi smoothing (aggregation.jl:10-17,26-47), P ≡ (I − diag(s)·A)·T
+    # with s = ω·D̃⁻¹ exactly as built above — the device kernel tier can
+    # then apply P/R from T + s + the already-resident A stencil instead of
+    # streaming materialised P/R coefficient planes (P has (2k+1)² offsets,
+    # R = Pᵀ up to (3k)²; T has one).
+    if isinstance(smooth, JacobiProlongation) and isinstance(
+        symmetry, HermitianSymmetry
+    ) and not np.iscomplexobj(A_csr.data):
+        D = np.asarray(np.abs(A_csr).sum(axis=1)).ravel()
+        level.T_tent = as_csr(T)
+        level.psmooth_scale = smooth.omega * np.where(
+            D != 0, 1.0 / np.where(D != 0, D, 1.0), 0.0
+        )
+    levels.append(level)
     return RAP, B_coarse, True, False

@@ -165,6 +165,11 @@ class DeviceHierarchy:
     levels: Tuple[DeviceLevel, ...]
     coarse: CoarseCache
     final_A: ELL  # for the outer residual when the hierarchy is trivial
+    # whole-coarse-tail Pallas kernel (ops/pallas/tail_kernel.py): one
+    # pallas_call executing every level ≥ tail_start plus the dense coarse
+    # solve — kills the ~0.3 ms/op dispatch overhead of the small levels
+    tail: Any = None
+    tail_start: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     @property
     def n_fine(self) -> int:
@@ -611,6 +616,19 @@ def _maybe_build_fused_legs(level, dtype):
     from ..ops.pallas.vcycle_kernels import build_fused_leg_cache
 
     omega = float(cfg.omega) if isinstance(cfg, SOR) else 1.0
+
+    # factored-prolongator extras, when the SA setup stashed them: T as a
+    # LatticeMatrix and the ω·D̃⁻¹ scale as a class table or raw vector
+    factored_T = None
+    if os.environ.get("AMG_FACTORED_P", "") != "0":
+        T_t = getattr(level, "T_tent", None)
+        s_t = getattr(level, "psmooth_scale", None)
+        if isinstance(T_t, LatticeMatrix) and s_t is not None:
+            if isinstance(s_t, tuple) and s_t and s_t[0] == "table":
+                factored_T = (T_t.spec, s_t)
+            else:
+                factored_T = (T_t.spec, ("vector", np.asarray(s_t)))
+
     return build_fused_leg_cache(
         level.A.spec,
         level.R.spec,
@@ -623,6 +641,7 @@ def _maybe_build_fused_legs(level, dtype):
         True,
         True,
         interpret=not on_tpu,
+        factored_T=factored_T,
     )
 
 
@@ -727,7 +746,27 @@ def build_device_hierarchy(
 
     coarse = _build_coarse_cache(ml, dtype, final_pad)
     final_dev = lower(as_csr_cached(ml.final_A), row_pad)
-    return DeviceHierarchy(levels=tuple(out), coarse=coarse, final_A=final_dev)
+
+    # whole-coarse-tail kernel: longest trailing run of small fused-capable
+    # levels collapses to ONE pallas_call per cycle (V-cycles only)
+    tail, tail_start = None, -1
+    flag = os.environ.get("AMG_PALLAS_TAIL", "")
+    on_tpu = jax.default_backend() == "tpu"
+    if (flag == "1" or (flag != "0" and on_tpu)) and ml.levels:
+        from ..ops.pallas.tail_kernel import build_fused_tail_cache
+
+        for start in range(len(ml.levels)):
+            tail = build_fused_tail_cache(
+                ml.levels, ml, start, dtype, interpret=not on_tpu
+            )
+            if tail is not None:
+                tail_start = start
+                break
+
+    return DeviceHierarchy(
+        levels=tuple(out), coarse=coarse, final_A=final_dev,
+        tail=tail, tail_start=tail_start,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -764,13 +803,23 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
         else h.coarse.rows_padded
     )
 
+    if h.tail is not None and lvl == h.tail_start and isinstance(cycle, V) and x.ndim == 1:
+        # whole remaining tail (every level ≥ lvl + coarse solve) in ONE
+        # pallas_call — V-cycles only (W/F revisit levels individually)
+        from ..ops.pallas.tail_kernel import fused_tail
+
+        with jax.named_scope(f"L{lvl}/fused_tail"):
+            return fused_tail(h.tail, x, b)
+
     if level.fused is not None and x.ndim == 1:
         # fused Pallas legs: (presmooth + residual + restrict) down, then
-        # (prolong-correct + postsmooth) up — one kernel each
-        from ..ops.pallas.vcycle_kernels import fused_down, fused_up
+        # (prolong-correct + postsmooth) up — one kernel each.  x hands off
+        # down→up in tiled halo-block form and the tiled rhs is reused, so
+        # the per-level glue is one tile of x, one of b, and one untile.
+        from ..ops.pallas.vcycle_kernels import fused_down, fused_up_t
 
         with jax.named_scope(f"L{lvl}/down"):
-            x, coarse_b = fused_down(level.fused, x, b)
+            xt, coarse_b, bt = fused_down(level.fused, x, b, tiled=True)
             coarse_b = fit_len(coarse_b, n_next)
         if lvl == len(h.levels) - 1:
             with jax.named_scope("coarse_solve"):
@@ -779,7 +828,7 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
             coarse_x = jnp.zeros_like(coarse_b)
             coarse_x = _next(h, cycle, coarse_x, coarse_b, lvl + 1)
         with jax.named_scope(f"L{lvl}/up"):
-            x = fused_up(level.fused, x, b, coarse_x)
+            x = fused_up_t(level.fused, xt, bt, coarse_x, x.dtype, x.shape[0])
         return x
 
     with jax.named_scope(f"L{lvl}/presmooth"):

@@ -265,16 +265,31 @@ def _extrapolate_levels(
         )
         P_f = LatticeMatrix(sP.with_dims(cur_fdims, fd_c))
         R_f = LatticeMatrix(sR.with_dims(fd_c, cur_fdims))
-        fast_levels.append(
-            Level(
-                A=A_f,
-                P=P_f,
-                R=R_f,
-                presmoother_config=presmoother,
-                postsmoother_config=postsmoother,
-                symmetry=HermitianSymmetry(),
-            )
+        lvl_f = Level(
+            A=A_f,
+            P=P_f,
+            R=R_f,
+            presmoother_config=presmoother,
+            postsmoother_config=postsmoother,
+            symmetry=HermitianSymmetry(),
         )
+        # factored-prolongator extras (SA only): extrapolate the tentative
+        # prolongator T and the ω·D̃⁻¹ smoothing scale alongside P/R so the
+        # fused device legs can stream T + s + A instead of P/R planes
+        T_p = getattr(ml_p.levels[lvl], "T_tent", None)
+        s_p = getattr(ml_p.levels[lvl], "psmooth_scale", None)
+        if T_p is not None and s_p is not None:
+            sT = extract_spec(sp.csr_matrix(T_p), cur_pdims, cd)
+            gotS = extract_grid_vector(np.asarray(s_p), cur_pdims)
+            if (
+                sT is not None
+                and gotS is not None
+                and _phase_ok(sT, cur_fdims, cur_pdims)
+                and _phase_ok_vec(gotS[1], cur_fdims, cur_pdims)
+            ):
+                lvl_f.T_tent = LatticeMatrix(sT.with_dims(cur_fdims, fd_c))
+                lvl_f.psmooth_scale = ("table", gotS[0], gotS[1])
+        fast_levels.append(lvl_f)
         spec_A = sA_next
         cur_pdims, cur_fdims = cd, fd_c
         lvl += 1
@@ -295,7 +310,7 @@ def latticify_tail(ml: MultiLevel, max_rows: int = 300_000) -> MultiLevel:
         if isinstance(level.A, LatticeMatrix) or not sp.issparse(level.A):
             continue
         A = sp.csr_matrix(level.A)
-        if A.shape[0] > max_rows or A.shape[0] < 64:
+        if A.shape[0] > max_rows or A.shape[0] < 4:
             continue
         det = detect_lattice_dims(sp.csc_matrix(A))
         if det is None:
@@ -303,24 +318,34 @@ def latticify_tail(ml: MultiLevel, max_rows: int = 300_000) -> MultiLevel:
         dims = det
         nc = level.P.shape[1]
         cd = None
+        # min_margin=1: direct extraction of the real operator with an exact
+        # round-trip check — the proxy-extrapolation margin rule (never < 8)
+        # protects against extrapolating unseen belts, which cannot happen
+        # here, and tiny grids need per-position boundary classes
         for cand in _coarse_dim_candidates(dims, nc):
-            sP = extract_spec(sp.csr_matrix(level.P), dims, cand)
+            sP = extract_spec(sp.csr_matrix(level.P), dims, cand, min_margin=1)
             if sP is None:
                 continue
-            sR = extract_spec(sp.csr_matrix(level.R), cand, dims)
+            sR = extract_spec(sp.csr_matrix(level.R), cand, dims, min_margin=1)
             if sR is None:
                 continue
             cd = (cand, sP, sR)
             break
         if cd is None:
             continue
-        sA = extract_spec(A, dims, dims)
+        sA = extract_spec(A, dims, dims, min_margin=1)
         if sA is None:
             continue
         cand, sP, sR = cd
         level.A = LatticeMatrix(sA)
         level.P = LatticeMatrix(sP)
         level.R = LatticeMatrix(sR)
+        T_t = getattr(level, "T_tent", None)
+        if T_t is not None and sp.issparse(T_t):
+            sT = extract_spec(sp.csr_matrix(T_t), dims, cand, min_margin=1)
+            if sT is not None:
+                level.T_tent = LatticeMatrix(sT)
+        # psmooth_scale stays a full-size vector — cheap at tail sizes
     return ml
 
 

@@ -305,6 +305,7 @@ def extract_spec(
     K: int = 6,
     max_offsets: int = 64,
     verify: bool = True,
+    min_margin: int = 8,
 ) -> Optional[LatticeSpec]:
     """Extract the (offset, class) coefficient table of a proxy operator.
 
@@ -313,6 +314,12 @@ def extract_spec(
     ``verify``, the extracted spec is round-tripped through :meth:`tocsr`
     and compared exactly against ``M`` — extraction cannot silently corrupt
     an operator.
+
+    ``min_margin`` guards the PROXY-extrapolation path (see SAFETY below);
+    callers extracting a full-size operator directly (no extrapolation, round
+    trip exact — e.g. fastsetup.latticify_tail) may pass ``min_margin=1`` so
+    tiny grids, whose every position can be its own boundary class, still
+    extract.
     """
     M = sp.csr_matrix(M).copy()
     M.eliminate_zeros()  # cancellation zeros from SpGEMM would break nnz checks
@@ -353,8 +360,13 @@ def extract_spec(
     # outer-belt values as "interior" constants (observed as ~1e-10 errors in
     # deep instantiated operators).  Too-narrow levels must fail extraction
     # so the driver cuts to the generic tail instead.
-    min_margin = 8
-    for K_try in (max(K, min_margin), K + 3, K + 6):
+    min_margin = max(1, min_margin)
+    K_list = [max(K, min_margin), K + 3, K + 6]
+    if min_margin < 8:
+        # direct-extraction mode: small margins are sound (verified exactly),
+        # so sweep down to min_margin for grids too narrow for the defaults
+        K_list += list(range(max(K, min_margin) - 1, min_margin - 1, -1))
+    for K_try in K_list:
         for s in (1, 2, 3, 4, 6):
             Kx, sx = _axis_params(WxR, K_try, s)
             Ky, sy = _axis_params(WyR, K_try, s)

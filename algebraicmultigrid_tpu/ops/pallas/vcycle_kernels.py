@@ -30,7 +30,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Tuple
+from typing import Any, Tuple
 
 import numpy as np
 
@@ -39,7 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["FusedLegCache", "build_fused_leg_cache", "fused_down", "fused_up"]
+__all__ = [
+    "FusedLegCache", "build_fused_leg_cache", "fused_down", "fused_up",
+    "fused_up_t",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -65,6 +68,13 @@ class FusedLegCache:
     forward: bool = dataclasses.field(metadata=dict(static=True))
     backward: bool = dataclasses.field(metadata=dict(static=True))
     interpret: bool = dataclasses.field(metadata=dict(static=True))
+    # factored-prolongator form (SA LocalWeighting degree-1 Jacobi):
+    # P = (I − diag(s)·A)·T with T single-offset box-k — the legs stream
+    # T_tiled + S_tiled (2 planes) instead of P (nP planes) and R (nR coarse
+    # planes), reusing the resident A stencil for the smoothing applies
+    T_tiled: Any = None           # [gx, gy, BX, BY] coefficient dtype
+    S_tiled: Any = None           # [gx, gy, BX, BY] ω·D̃⁻¹, coefficient dtype
+    factored: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def grid(self):
@@ -128,10 +138,13 @@ def _build_tiles_jit(
     dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0).astype(dt)
     dinv_tiled = tile_f(dv)
 
-    pR = planes(TR, cxR, cyR).astype(dt)
+    # R has the most offsets of the three operators (Pᵀ of a box-k smoothed
+    # prolongator spreads to ~(3k)² geometric offsets) — coefficient-dtype
+    # storage matters as much as for A/P
+    pR = planes(TR, cxR, cyR)
     R_tiled = jnp.moveaxis(
         jax.vmap(lambda p: _tile_plane(p, gx, gy, TXc, TYc, 0, 0))(pR), 0, 2
-    )
+    ).astype(ct)
     pP = planes(TP, cxP, cyP)
     P_tiled = jnp.moveaxis(jax.vmap(tile_f)(pP), 0, 2).astype(ct)
     return A_tiled, dinv_tiled, R_tiled, P_tiled
@@ -140,6 +153,7 @@ def _build_tiles_jit(
 def build_fused_leg_cache(
     specA, specR, specP, color_grid: np.ndarray, n_colors: int, dtype,
     omega, iters, fwd, bwd, interpret: bool = False, coef_dtype=None,
+    factored_T=None,
 ):
     """Pre-tile A/dinv/R/P for the fused leg kernels; None if the level's
     shape isn't supported (ratios, sizes, VMEM)."""
@@ -174,7 +188,15 @@ def build_fused_leg_cache(
         max((abs(d) for d, _ in specP.offsets), default=0),
         max((abs(d) for _, d in specP.offsets), default=0),
     )
-    need = n_steps * reachA + reachA + max(reachR, k)
+    # halo must cover the down leg's consumption (sweeps + residual +
+    # restrict reach) AND leave a still-valid band ≥ the up leg's postsmooth
+    # consumption, so the down output can hand off to up in tiled form
+    # (fused_down(..., tiled=True) → fused_up_t) without re-tiling
+    need = max(
+        n_steps * reachA + reachA + max(reachR, k),  # down: sweeps+res+restrict
+        2 * n_steps * reachA,                         # tiled handoff: up sweeps
+        n_steps * reachA + 2 * reachA + k,            # factored restriction
+    )
     Hfx = -(-need // 4) * 4
     Hfy = 64 * (-(-need // 64))
     Hcx, Hcy = max(-(-Hfx // k) + reachP, 4), 64
@@ -201,17 +223,48 @@ def build_fused_leg_cache(
     item = np.dtype(dtype).itemsize
     item_c = np.dtype(coef_dtype).itemsize
 
+    # ---- factored-prolongator validation (before the VMEM estimate — the
+    # factored legs stream T+s (2 fine planes) instead of nP fine P planes
+    # and nR coarse R planes).  Requires T single-offset (0,0) box-k.
+    specT = scale_info = None
+    if factored_T is not None:
+        specT_c, scale_c = factored_T
+        if (
+            specT_c is not None
+            and scale_c is not None
+            and specT_c.base_x == (1, k)
+            and specT_c.base_y == (1, k)
+            and tuple(specT_c.row_dims) == (Wx, Wy)
+            and tuple(specT_c.col_dims) == (Wxc, Wyc)
+            and any(o == (0, 0) for o in specT_c.offsets)
+            and all(
+                o == (0, 0) or not np.any(specT_c.table[i])
+                for i, o in enumerate(specT_c.offsets)
+            )
+        ):
+            specT, scale_info = specT_c, scale_c
+    factored = specT is not None
+
     def vmem_need(tx):
         bx, by = tx + 2 * Hfx, TY + 2 * Hfy
         txc, tyc = tx // k, TY // k
-        return 2 * (
+        n_fine_coef = (nA + 2 + 1) if factored else (nA + nP + 1)
+        n_coarse_coef = 0 if factored else nR
+        # double-buffered operands
+        ops = 2 * (
             item * 2 * bx * by
-            + item_c * (nA + nP + 1) * bx * by
-            + item * nR * txc * tyc
+            + item_c * n_fine_coef * bx * by
+            + item_c * n_coarse_coef * txc * tyc
             + item * (txc + 2 * Hcx) * (tyc + 2 * Hcy)
-            + item * tx * TY
+            + item * bx * by
             + item * txc * tyc
         )
+        # scoped-stack temporaries (single-buffered): the up kernel's
+        # repeated coarse block (k²·(TXc+2Hc)²) plus ~3 live fine planes
+        tmp = item * (
+            (k * (txc + 2 * Hcx)) * (k * (tyc + 2 * Hcy)) + 3 * bx * by
+        )
+        return ops + tmp
 
     while vmem_need(TX) > 12 * 2**20 and TX > 8 * k:
         TX -= 8 * k
@@ -230,6 +283,23 @@ def build_fused_leg_cache(
         np.dtype(specA.table.dtype).kind != "f"
         or os.environ.get("AMG_HOST_EXPAND") == "1"
     )
+
+    # scale plane inputs: either a boundary-classed table (extrapolated) or a
+    # full-size vector (latticified tail levels) — both become (tbl, cx, cy)
+    # selector inputs for the one-hot device expansion
+    def _scale_inputs():
+        from ...models.lattice import axis_classes
+
+        kind = scale_info[0]
+        if kind == "table":
+            _, tbl, (Kx, sx, Ky, sy) = scale_info
+            cxs = axis_classes(np.arange(Wx), Wx, Kx, sx)
+            cys = axis_classes(np.arange(Wy), Wy, Ky, sy)
+            return np.asarray(tbl, dtype=cnp), cxs, cys
+        v = np.asarray(scale_info[1], dtype=cnp).reshape(Wx, Wy)
+        return v, np.arange(Wx), np.arange(Wy)
+
+    T_tiled = S_tiled = None
     if host_expand:
         # host fallback: O(n) expand + full-plane upload (exotic dtypes, debug)
         A_tiled = np.zeros((gx, gy, nA, BX, BY), dtype=cnp)
@@ -240,15 +310,28 @@ def build_fused_leg_cache(
         nz = diag != 0
         dv[nz] = 1.0 / diag[nz]
         dinv_tiled = jnp.asarray(_tile_with_halo(dv, gx, gy, TX, TY, Hfx, Hfy))
-        R_tiled = np.zeros((gx, gy, nR, TXc, TYc), dtype=dtype)
-        for kk in range(nR):
-            R_tiled[:, :, kk] = _tile_with_halo(specR.expand(kk, dtype=dtype), gx, gy, TXc, TYc, 0, 0)
-        P_tiled = np.zeros((gx, gy, nP, BX, BY), dtype=cnp)
-        for kk in range(nP):
-            P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
         A_tiled = jnp.asarray(A_tiled, dtype=coef_dtype)
-        R_tiled = jnp.asarray(R_tiled)
-        P_tiled = jnp.asarray(P_tiled, dtype=coef_dtype)
+        if factored:
+            idxT = specT.offsets.index((0, 0))
+            pT = specT.expand(idxT, dtype=cnp)
+            tbl, cxs, cys = _scale_inputs()
+            pS = tbl[cxs[:, None], cys[None, :]].astype(cnp)
+            T_tiled = jnp.asarray(
+                _tile_with_halo(pT, gx, gy, TX, TY, Hfx, Hfy), dtype=coef_dtype
+            )
+            S_tiled = jnp.asarray(
+                _tile_with_halo(pS, gx, gy, TX, TY, Hfx, Hfy), dtype=coef_dtype
+            )
+            R_tiled = P_tiled = jnp.zeros((0,), dtype=coef_dtype)
+        else:
+            R_tiled = np.zeros((gx, gy, nR, TXc, TYc), dtype=cnp)
+            for kk in range(nR):
+                R_tiled[:, :, kk] = _tile_with_halo(specR.expand(kk, dtype=cnp), gx, gy, TXc, TYc, 0, 0)
+            P_tiled = np.zeros((gx, gy, nP, BX, BY), dtype=cnp)
+            for kk in range(nP):
+                P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
+            R_tiled = jnp.asarray(R_tiled, dtype=coef_dtype)
+            P_tiled = jnp.asarray(P_tiled, dtype=coef_dtype)
     else:
         # device-side expansion + tiling: upload only the O(K+s) tables and
         # O(W) class vectors — the O(n) host memset and the full-plane
@@ -258,20 +341,39 @@ def build_fused_leg_cache(
         except ValueError:
             diag_idx = -1
         cxA, cyA = specA.row_class_arrays()
-        cxR, cyR = specR.row_class_arrays()
-        cxP, cyP = specP.row_class_arrays()
-        A_tiled, dinv_tiled, R_tiled, P_tiled = _build_tiles_jit(
-            jnp.asarray(np.asarray(specA.table, dtype=cnp)),
-            jnp.asarray(cxA.astype(np.int32)), jnp.asarray(cyA.astype(np.int32)),
-            jnp.asarray(np.asarray(specR.table, dtype=cnp)),
-            jnp.asarray(cxR.astype(np.int32)), jnp.asarray(cyR.astype(np.int32)),
-            jnp.asarray(np.asarray(specP.table, dtype=cnp)),
-            jnp.asarray(cxP.astype(np.int32)), jnp.asarray(cyP.astype(np.int32)),
-            gx=gx, gy=gy, TX=TX, TY=TY, Hfx=Hfx, Hfy=Hfy, TXc=TXc, TYc=TYc,
-            diag_idx=diag_idx,
-            dtype_name=jnp.dtype(dtype).name,
-            coef_name=jnp.dtype(coef_dtype).name,
-        )
+        if factored:
+            idxT = specT.offsets.index((0, 0))
+            cxT, cyT = specT.row_class_arrays()
+            tblS, cxS, cyS = _scale_inputs()
+            A_tiled, dinv_tiled, T_tiled, S_tiled = _build_tiles_factored_jit(
+                jnp.asarray(np.asarray(specA.table, dtype=cnp)),
+                jnp.asarray(cxA.astype(np.int32)), jnp.asarray(cyA.astype(np.int32)),
+                jnp.asarray(np.asarray(specT.table[idxT], dtype=cnp)),
+                jnp.asarray(cxT.astype(np.int32)), jnp.asarray(cyT.astype(np.int32)),
+                jnp.asarray(tblS),
+                jnp.asarray(np.asarray(cxS, dtype=np.int32)),
+                jnp.asarray(np.asarray(cyS, dtype=np.int32)),
+                gx=gx, gy=gy, TX=TX, TY=TY, Hfx=Hfx, Hfy=Hfy,
+                diag_idx=diag_idx,
+                dtype_name=jnp.dtype(dtype).name,
+                coef_name=jnp.dtype(coef_dtype).name,
+            )
+            R_tiled = P_tiled = jnp.zeros((0,), dtype=coef_dtype)
+        else:
+            cxR, cyR = specR.row_class_arrays()
+            cxP, cyP = specP.row_class_arrays()
+            A_tiled, dinv_tiled, R_tiled, P_tiled = _build_tiles_jit(
+                jnp.asarray(np.asarray(specA.table, dtype=cnp)),
+                jnp.asarray(cxA.astype(np.int32)), jnp.asarray(cyA.astype(np.int32)),
+                jnp.asarray(np.asarray(specR.table, dtype=cnp)),
+                jnp.asarray(cxR.astype(np.int32)), jnp.asarray(cyR.astype(np.int32)),
+                jnp.asarray(np.asarray(specP.table, dtype=cnp)),
+                jnp.asarray(cxP.astype(np.int32)), jnp.asarray(cyP.astype(np.int32)),
+                gx=gx, gy=gy, TX=TX, TY=TY, Hfx=Hfx, Hfy=Hfy, TXc=TXc, TYc=TYc,
+                diag_idx=diag_idx,
+                dtype_name=jnp.dtype(dtype).name,
+                coef_name=jnp.dtype(coef_dtype).name,
+            )
 
     return FusedLegCache(
         A_tiled=A_tiled,
@@ -294,7 +396,54 @@ def build_fused_leg_cache(
         forward=fwd,
         backward=bwd,
         interpret=interpret,
+        T_tiled=T_tiled,
+        S_tiled=S_tiled,
+        factored=factored,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "gx", "gy", "TX", "TY", "Hfx", "Hfy", "diag_idx", "dtype_name",
+        "coef_name",
+    ),
+)
+def _build_tiles_factored_jit(
+    TA, cxA, cyA, TT, cxT, cyT, TS, cxS, cyS, *,
+    gx, gy, TX, TY, Hfx, Hfy, diag_idx, dtype_name, coef_name,
+):
+    """Device-side expansion for the factored legs: A stencil planes + dinv
+    plus the single-offset tentative-prolongator plane T and the ω·D̃⁻¹
+    scale plane s (one-hot MXU selection, exact at HIGHEST precision)."""
+    dt = jnp.dtype(dtype_name)
+    ct = jnp.dtype(coef_name)
+
+    def planes3(T, cx, cy):
+        Ex = (cx[:, None] == jnp.arange(T.shape[1], dtype=cx.dtype)).astype(T.dtype)
+        Ey = (cy[:, None] == jnp.arange(T.shape[2], dtype=cy.dtype)).astype(T.dtype)
+        return jnp.einsum(
+            "xc,kcd,yd->kxy", Ex, T, Ey, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def plane2(T, cx, cy):
+        Ex = (cx[:, None] == jnp.arange(T.shape[0], dtype=cx.dtype)).astype(T.dtype)
+        Ey = (cy[:, None] == jnp.arange(T.shape[1], dtype=cy.dtype)).astype(T.dtype)
+        return jnp.einsum(
+            "xc,cd,yd->xy", Ex, T, Ey, precision=jax.lax.Precision.HIGHEST
+        )
+
+    tile_f = lambda p: _tile_plane(p, gx, gy, TX, TY, Hfx, Hfy)
+
+    pA = planes3(TA, cxA, cyA)
+    A_tiled = jnp.moveaxis(jax.vmap(tile_f)(pA), 0, 2).astype(ct)
+    diag = pA[diag_idx] if diag_idx >= 0 else jnp.zeros(pA.shape[1:], pA.dtype)
+    dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0).astype(dt)
+    dinv_tiled = tile_f(dv)
+
+    T_tiled = tile_f(plane2(TT, cxT, cyT)).astype(ct)
+    S_tiled = tile_f(plane2(TS, cxS, cyS)).astype(ct)
+    return A_tiled, dinv_tiled, T_tiled, S_tiled
 
 
 # --------------------------------------------------------------------------
@@ -314,6 +463,20 @@ def _color_of(i, j, TX, TY, Hx, Hy, BX, BY, color_grid):
         for v in range(b):
             out = jnp.where((cx == u) & (cy == v), tab[u, v], out)
     return out
+
+
+def _stencil_apply(A, X, offs, BX, BY):
+    """Σₖ A_k ⊙ roll(X, offs_k) — the Lat2D SpMV on a VMEM block."""
+    acc = None
+    for kk, (dx, dy) in enumerate(offs):
+        src = X
+        if dx:
+            src = pltpu.roll(src, (-dx) % BX, axis=0)
+        if dy:
+            src = pltpu.roll(src, (-dy) % BY, axis=1)
+        term = A[kk] * src
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _sweep(L, B, D, a_planes, color_of, steps, omega, offs, BX, BY):
@@ -379,9 +542,14 @@ def _steps_list(n_colors, iters, fwd, bwd):
 
 
 def _down_kernel(
-    x_ref, b_ref, d_ref, a_ref, r_ref, xo_ref, bc_ref,
-    *, offsA, offsR, color_grid, steps, omega, k, Hfx, Hfy, TX, TY,
+    x_ref, b_ref, d_ref, a_ref, *rest,
+    offsA, offsR, color_grid, steps, omega, k, Hfx, Hfy, TX, TY, tiled_out,
+    factored,
 ):
+    if factored:
+        t_ref, s_ref, xo_ref, bc_ref = rest
+    else:
+        r_ref, xo_ref, bc_ref = rest
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
     i = pl.program_id(0)
@@ -394,24 +562,37 @@ def _down_kernel(
     A = a_ref[0, 0].astype(L.dtype)
 
     L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
-    xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
+    if tiled_out:
+        # hand the whole halo block to the up leg (the outer
+        # n_steps·reachA halo layers are stale, but the builder sized Hf so
+        # the remaining valid band covers the up leg's sweeps)
+        xo_ref[0, 0] = L
+    else:
+        xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
 
     # residual on the (still-valid) halo region
-    rsum = None
-    for kk, (dx, dy) in enumerate(offsA):
-        src = L
-        if dx:
-            src = pltpu.roll(src, (-dx) % BX, axis=0)
-        if dy:
-            src = pltpu.roll(src, (-dy) % BY, axis=1)
-        term = A[kk] * src
-        rsum = term if rsum is None else rsum + term
-    r = B - rsum
+    r = B - _stencil_apply(A, L, offsA, BX, BY)
+
+    M = 1
+    if factored:
+        # R = Tᵀ(I − A·diag(s)):  b_c = Tᵀ(r − A(s⊙r)); Tᵀ is a box-k sum,
+        # so b_c[c] = Σ_{ρ∈[0,k)²} (T⊙s̃)[k·c+ρ] — k² unit-weight subsamples
+        g = s_ref[0, 0].astype(L.dtype) * r
+        ts = t_ref[0, 0].astype(L.dtype) * (
+            r - _stencil_apply(A, g, offsA, BX, BY)
+        )
+        subs = _all_residue_subsamples(ts, Hfx, Hfy, k, TXc, TYc, M=M)
+        acc = None
+        for rx in range(k):
+            for ry in range(k):
+                sub = jax.lax.slice(subs[rx][ry], (M, M), (M + TXc, M + TYc))
+                acc = sub if acc is None else acc + sub
+        bc_ref[:] = acc
+        return
 
     # restriction: coarse local cl reads fine local k·cl + (δ + Hf).
     # Residue-shared subsamples: offset δ uses residue (δ mod k) shifted by
     # the floor quotient — a static slice of the margined subsample.
-    M = 1
     subs = _all_residue_subsamples(r, Hfx, Hfy, k, TXc, TYc, M=M)
     acc = None
     for kk, (dx, dy) in enumerate(offsR):
@@ -420,13 +601,17 @@ def _down_kernel(
         sub = jax.lax.slice(
             subs[rx][ry], (M + mx, M + my), (M + mx + TXc, M + my + TYc)
         )
-        term = r_ref[0, 0, kk] * sub
+        term = r_ref[0, 0, kk].astype(sub.dtype) * sub
         acc = term if acc is None else acc + term
     bc_ref[:] = acc
 
 
-def fused_down(cache: FusedLegCache, x, b):
-    """(x', b_c) = (presmooth(x, b), R·(b − A·x')) — one pallas_call."""
+def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
+    """(x', b_c) = (presmooth(x, b), R·(b − A·x')) — one pallas_call.
+
+    ``tiled=True`` returns ``(Xt', b_c, Bt)`` with ``Xt'`` the full halo-block
+    form (consumed directly by :func:`fused_up_t` — skips one untile and one
+    re-tile of x per level per cycle) and ``Bt`` the tiled rhs for reuse."""
     Wx, Wy = cache.row_dims
     Wxc, Wyc = cache.col_dims
     TX, TY = cache.tile
@@ -453,34 +638,55 @@ def fused_down(cache: FusedLegCache, x, b):
         Hfy=Hfy,
         TX=TX,
         TY=TY,
+        tiled_out=tiled,
+        factored=cache.factored,
     )
     tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
     a_spec = pl.BlockSpec(
         (1, 1, len(cache.offsA), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    r_spec = pl.BlockSpec(
-        (1, 1, len(cache.offsR), TXc, TYc), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+    if cache.factored:
+        extra_specs = [tile_spec, tile_spec]
+        extra_ops = [cache.T_tiled, cache.S_tiled]
+    else:
+        extra_specs = [
+            pl.BlockSpec(
+                (1, 1, len(cache.offsR), TXc, TYc), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        extra_ops = [cache.R_tiled]
+    xo_spec = (
+        tile_spec
+        if tiled
+        else pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    )
+    xo_shape = (
+        jax.ShapeDtypeStruct((gx, gy, BX, BY), dtype)
+        if tiled
+        else jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype)
     )
     xo, bc = pl.pallas_call(
         kern,
         grid=(gx, gy),
-        in_specs=[tile_spec, tile_spec, tile_spec, a_spec, r_spec],
+        in_specs=[tile_spec, tile_spec, tile_spec, a_spec] + extra_specs,
         out_specs=(
-            pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            xo_spec,
             pl.BlockSpec((TXc, TYc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
+            xo_shape,
             jax.ShapeDtypeStruct((gx * TXc, gy * TYc), dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=cache.interpret,
-    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, cache.R_tiled)
+    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, *extra_ops)
 
-    xo = xo[:Wx, :Wy].reshape(n).astype(x.dtype)
     bc = bc[:Wxc, :Wyc].reshape(Wxc * Wyc).astype(x.dtype)
+    if tiled:
+        return xo, bc, Bt
+    xo = xo[:Wx, :Wy].reshape(n).astype(x.dtype)
     pad = x.shape[0] - n
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
@@ -493,9 +699,14 @@ def fused_down(cache: FusedLegCache, x, b):
 
 
 def _up_kernel(
-    x_ref, b_ref, d_ref, a_ref, p_ref, xc_ref, xo_ref,
-    *, offsA, offsP, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
+    x_ref, b_ref, d_ref, a_ref, *rest,
+    offsA, offsP, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
+    factored,
 ):
+    if factored:
+        t_ref, s_ref, xc_ref, xo_ref = rest
+    else:
+        p_ref, xc_ref, xo_ref = rest
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -512,13 +723,23 @@ def _up_kernel(
     # sublane repeat + transpose (same trick as the stride-k subsample).
     upx = jnp.repeat(XC, k, axis=0)
     up = jnp.repeat(upx.T, k, axis=0).T
-    corr = None
-    for kk, (dx, dy) in enumerate(offsP):
-        sx = k * (dx + Hcx) - Hfx
-        sy = k * (dy + Hcy) - Hfy
+    if factored:
+        # P = (I − diag(s)·A)·T, T single-offset: corr = Tup − s⊙(A·Tup)
+        sx = k * Hcx - Hfx
+        sy = k * Hcy - Hfy
         src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
-        term = p_ref[0, 0, kk].astype(L.dtype) * src
-        corr = term if corr is None else corr + term
+        Tup = t_ref[0, 0].astype(L.dtype) * src
+        corr = Tup - s_ref[0, 0].astype(L.dtype) * _stencil_apply(
+            A, Tup, offsA, BX, BY
+        )
+    else:
+        corr = None
+        for kk, (dx, dy) in enumerate(offsP):
+            sx = k * (dx + Hcx) - Hfx
+            sy = k * (dy + Hcy) - Hfy
+            src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
+            term = p_ref[0, 0, kk].astype(L.dtype) * src
+            corr = term if corr is None else corr + term
     L = L + corr
 
     L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
@@ -527,6 +748,24 @@ def _up_kernel(
 
 def fused_up(cache: FusedLegCache, x, b, xc):
     """x = postsmooth(x + P·x_c, b) — one pallas_call."""
+    Wx, Wy = cache.row_dims
+    TX, TY = cache.tile
+    Hfx, Hfy = cache.Hf
+    gx, gy = cache.grid
+    dtype = cache.dinv_tiled.dtype
+    n = Wx * Wy
+    Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+    Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+    return _fused_up_tiled(cache, Xt, Bt, xc, x.dtype, x.shape[0])
+
+
+def fused_up_t(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
+    """Tiled-handoff variant: consume fused_down(..., tiled=True)'s halo
+    blocks and reused rhs tiles directly."""
+    return _fused_up_tiled(cache, Xt, Bt, xc, out_dtype, out_len)
+
+
+def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
     Wx, Wy = cache.row_dims
     Wxc, Wyc = cache.col_dims
     TX, TY = cache.tile
@@ -540,8 +779,6 @@ def fused_up(cache: FusedLegCache, x, b, xc):
     n = Wx * Wy
     nc = Wxc * Wyc
 
-    Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
-    Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
     XCt = _xla_tile(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
 
     kern = functools.partial(
@@ -558,31 +795,39 @@ def fused_up(cache: FusedLegCache, x, b, xc):
         Hcy=Hcy,
         TX=TX,
         TY=TY,
+        factored=cache.factored,
     )
     tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
     a_spec = pl.BlockSpec(
         (1, 1, len(cache.offsA), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    p_spec = pl.BlockSpec(
-        (1, 1, len(cache.offsP), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
-    )
     c_spec = pl.BlockSpec(
         (1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
+    if cache.factored:
+        extra_specs = [tile_spec, tile_spec]
+        extra_ops = [cache.T_tiled, cache.S_tiled]
+    else:
+        extra_specs = [
+            pl.BlockSpec(
+                (1, 1, len(cache.offsP), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        extra_ops = [cache.P_tiled]
     xo = pl.pallas_call(
         kern,
         grid=(gx, gy),
-        in_specs=[tile_spec, tile_spec, tile_spec, a_spec, p_spec, c_spec],
+        in_specs=[tile_spec, tile_spec, tile_spec, a_spec] + extra_specs + [c_spec],
         out_specs=pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=cache.interpret,
-    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, cache.P_tiled, XCt)
+    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, *extra_ops, XCt)
 
-    xo = xo[:Wx, :Wy].reshape(n).astype(x.dtype)
-    pad = x.shape[0] - n
+    xo = xo[:Wx, :Wy].reshape(n).astype(out_dtype)
+    pad = out_len - n
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
     return xo
