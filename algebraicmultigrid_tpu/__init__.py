@@ -37,7 +37,13 @@ from .models.fastsetup import (
     structured_smoothed_aggregation,
 )
 from .models.interpolation import direct_interpolation
-from .models.multilevel import Level, MultiLevel, solve_mg
+from .models.multilevel import (
+    Level,
+    MultiLevel,
+    grid_complexity,
+    operator_complexity,
+    solve_mg,
+)
 from .models.prolongation_smooth import JacobiProlongation
 from .models.splitting import RS, rs_cf_splitting
 from .models.structured import StructuredAggregation, StructuredRS
@@ -74,6 +80,7 @@ __all__ = [
     "direct_interpolation",
     # hierarchy
     "ruge_stuben", "smoothed_aggregation", "Level", "MultiLevel", "solve_mg",
+    "operator_complexity", "grid_complexity",
     # coarse solvers
     "Pinv", "QRSolver", "LinearSolveWrapper", "SpluSolver",
     # preconditioner / Krylov

@@ -63,6 +63,7 @@ __all__ = [
     "DeviceHierarchy",
     "build_device_hierarchy",
     "device_cycle_fn",
+    "run_fixed_cycles",
     "solve_device",
     "cg_device",
     "solve_refined",
@@ -869,6 +870,68 @@ def _one_iteration(h: DeviceHierarchy, cycle: Cycle, x, b):
     if h.levels:
         return _cycle(h, cycle, x, b, 0)
     return _coarse_solve(h.coarse, b)
+
+
+def _subsolve(h: DeviceHierarchy, coarse_b, lvl: int):
+    """One V-cycle from zero on the sub-hierarchy below ``lvl−1``."""
+    if lvl >= len(h.levels):
+        return _coarse_solve(h.coarse, coarse_b)
+    return _cycle(h, V(), jnp.zeros_like(coarse_b), coarse_b, lvl)
+
+
+def run_fixed_cycles(h: DeviceHierarchy, x, b, n_cycles: int):
+    """``n_cycles`` V-cycles — identical math to iterating
+    :func:`_one_iteration`, but when the top level has a factored fused-leg
+    cache the loop body uses the cross-cycle ``fused_updown`` kernel
+    (postsmooth(i) + presmooth(i+1) + residual + restrict in ONE top-level
+    pallas_call per cycle, coefficient planes read once).  On this stack a
+    pallas_call carries ~0.6 ms fixed launch cost, so halving the top level's
+    calls is the single biggest cycle-time lever."""
+    fused = h.levels[0].fused if h.levels else None
+    usable = (
+        n_cycles >= 1
+        and fused is not None
+        and getattr(fused, "factored", False)
+        and x.ndim == 1
+        and not (h.tail is not None and h.tail_start == 0)
+    )
+    if not usable:
+        return jax.lax.fori_loop(
+            0, n_cycles, lambda i, xx: _one_iteration(h, V(), xx, b), x
+        )
+
+    from ..ops.pallas.vcycle_kernels import (
+        _xla_tile,
+        fused_down,
+        fused_up,
+        fused_updown,
+    )
+
+    n_next = (
+        h.levels[1].A.rows_padded if len(h.levels) > 1 else h.coarse.rows_padded
+    )
+    with jax.named_scope("L0/down"):
+        xf, bc = fused_down(fused, x, b)
+    bc = fit_len(bc, n_next)
+    Wx, Wy = fused.row_dims
+    TX, TY = fused.tile
+    Hfx, Hfy = fused.Hf
+    gx, gy = fused.grid
+    bt = _xla_tile(
+        b, Wx * Wy, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, fused.dinv_tiled.dtype
+    )
+
+    def body(i, carry):
+        xf, bc = carry
+        xc = _subsolve(h, bc, 1)
+        with jax.named_scope("L0/updown"):
+            xf, bc2 = fused_updown(fused, xf, bt, xc)
+        return xf, fit_len(bc2, n_next)
+
+    xf, bc = jax.lax.fori_loop(0, n_cycles - 1, body, (xf, bc))
+    xc = _subsolve(h, bc, 1)
+    with jax.named_scope("L0/up"):
+        return fused_up(fused, xf, b, xc)
 
 
 def device_cycle_fn(ml: MultiLevel, cycle: Cycle = V(), dtype=None):

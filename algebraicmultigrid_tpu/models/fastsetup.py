@@ -318,22 +318,23 @@ def latticify_tail(ml: MultiLevel, max_rows: int = 300_000) -> MultiLevel:
         dims = det
         nc = level.P.shape[1]
         cd = None
-        # min_margin=1: direct extraction of the real operator with an exact
+        # min_margin=0: direct extraction of the real operator with an exact
         # round-trip check — the proxy-extrapolation margin rule (never < 8)
         # protects against extrapolating unseen belts, which cannot happen
-        # here, and tiny grids need per-position boundary classes
+        # here; tiny grids need per-position boundary classes, and width-2
+        # axes need K=0 with a covering interior period
         for cand in _coarse_dim_candidates(dims, nc):
-            sP = extract_spec(sp.csr_matrix(level.P), dims, cand, min_margin=1)
+            sP = extract_spec(sp.csr_matrix(level.P), dims, cand, min_margin=0)
             if sP is None:
                 continue
-            sR = extract_spec(sp.csr_matrix(level.R), cand, dims, min_margin=1)
+            sR = extract_spec(sp.csr_matrix(level.R), cand, dims, min_margin=0)
             if sR is None:
                 continue
             cd = (cand, sP, sR)
             break
         if cd is None:
             continue
-        sA = extract_spec(A, dims, dims, min_margin=1)
+        sA = extract_spec(A, dims, dims, min_margin=0)
         if sA is None:
             continue
         cand, sP, sR = cd
@@ -342,7 +343,7 @@ def latticify_tail(ml: MultiLevel, max_rows: int = 300_000) -> MultiLevel:
         level.R = LatticeMatrix(sR)
         T_t = getattr(level, "T_tent", None)
         if T_t is not None and sp.issparse(T_t):
-            sT = extract_spec(sp.csr_matrix(T_t), dims, cand, min_margin=1)
+            sT = extract_spec(sp.csr_matrix(T_t), dims, cand, min_margin=0)
             if sT is not None:
                 level.T_tent = LatticeMatrix(sT)
         # psmooth_scale stays a full-size vector — cheap at tail sizes

@@ -360,7 +360,7 @@ def extract_spec(
     # outer-belt values as "interior" constants (observed as ~1e-10 errors in
     # deep instantiated operators).  Too-narrow levels must fail extraction
     # so the driver cuts to the generic tail instead.
-    min_margin = max(1, min_margin)
+    min_margin = max(0, min_margin)
     K_list = [max(K, min_margin), K + 3, K + 6]
     if min_margin < 8:
         # direct-extraction mode: small margins are sound (verified exactly),

@@ -31,7 +31,7 @@ import scipy.sparse as sp
 from ..config import Cycle, F, V, W
 from .coarse import CoarseSolver
 
-__all__ = ["Level", "MultiLevel", "solve_mg"]
+__all__ = ["Level", "MultiLevel", "solve_mg", "operator_complexity", "grid_complexity"]
 
 
 class Level:
@@ -240,3 +240,15 @@ def solve_mg(
         itr += 1
 
     return (x, residuals) if log else x
+
+
+def operator_complexity(ml: "MultiLevel") -> float:
+    """Σ nnz(Aₗ)/nnz(A₁) — module-level form matching the reference's
+    qualified usage ``AlgebraicMultigrid.operator_complexity(ml)``
+    (multilevel.jl:98-105)."""
+    return ml.operator_complexity()
+
+
+def grid_complexity(ml: "MultiLevel") -> float:
+    """Σ nₗ/n₁ (multilevel.jl:107-114)."""
+    return ml.grid_complexity()

@@ -64,6 +64,7 @@ class TailLevelMeta:
     box: Tuple[int, int]       # padded fine (Bx, By)
     cdims: Tuple[int, int]     # logical coarse
     cbox: Tuple[int, int]      # padded coarse
+    factored: bool = False     # P = (I − diag(s)A)T form: stream T+s planes
 
 
 @jax.tree_util.register_dataclass
@@ -78,6 +79,8 @@ class FusedTailCache:
     Pp: Tuple[jax.Array, ...]     # [nP, Bx, By]
     UPx: Tuple[jax.Array, ...]    # [nPdx, Bx, Bcx] one-hot upsample selectors
     UPy: Tuple[jax.Array, ...]    # [nPdy, By, Bcy]
+    Tp: Tuple[jax.Array, ...]     # factored: [Bx, By] tentative-P plane (else dummy)
+    Sp: Tuple[jax.Array, ...]     # factored: [Bx, By] ω·D̃⁻¹ plane (else dummy)
     G: jax.Array                  # [n7, B7x, B7y] coarse solve-operator planes
     metas: Tuple[TailLevelMeta, ...] = dataclasses.field(metadata=dict(static=True))
     dims7: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
@@ -128,6 +131,54 @@ def _sel_stack(pairs, fine_B, coarse_B, coarse_W, k, kind, dtype):
     return out, tuple(index[d] for d in pairs)
 
 
+def _pad_np(plane: np.ndarray, box: Tuple[int, int]) -> np.ndarray:
+    Wx, Wy = plane.shape
+    Bx, By = box
+    return np.pad(plane, ((_H, Bx - Wx - _H), (_H, By - Wy - _H)))
+
+
+def _factored_spec(level, k, dims, cdims):
+    """T spec for the factored P = (I − diag(s)A)T form, or None."""
+    from ...models.lattice import LatticeMatrix
+
+    T_t = getattr(level, "T_tent", None)
+    if not isinstance(T_t, LatticeMatrix):
+        return None
+    sT = T_t.spec
+    if (
+        sT.base_x != (1, k)
+        or sT.base_y != (1, k)
+        or tuple(sT.row_dims) != dims
+        or tuple(sT.col_dims) != cdims
+        or not any(o == (0, 0) for o in sT.offsets)
+        or not all(
+            o == (0, 0) or not np.any(sT.table[i])
+            for i, o in enumerate(sT.offsets)
+        )
+    ):
+        return None
+    return sT
+
+
+def _scale_plane(level, dims, npdt):
+    """[Wx, Wy] ω·D̃⁻¹ plane from a class table or raw vector, or None."""
+    from ...models.lattice import axis_classes
+
+    s = getattr(level, "psmooth_scale", None)
+    if s is None:
+        return None
+    Wx, Wy = dims
+    if isinstance(s, tuple) and s and s[0] == "table":
+        _, tbl, (Kx, sx_, Ky, sy_) = s
+        cx = axis_classes(np.arange(Wx), Wx, Kx, sx_)
+        cy = axis_classes(np.arange(Wy), Wy, Ky, sy_)
+        return np.asarray(tbl, dtype=npdt)[cx[:, None], cy[None, :]]
+    v = np.asarray(s, dtype=npdt).ravel()
+    if v.shape[0] != Wx * Wy:
+        return None
+    return v.reshape(Wx, Wy)
+
+
 def _level_ok(level) -> Tuple[Any, Any, Any] | None:
     """Mirror of vcycle_kernels.build_fused_leg_cache's shape gate."""
     from ...models.lattice import LatticeMatrix
@@ -169,7 +220,7 @@ def build_fused_tail_cache(
     coef_dtype=None,
     interpret: bool = False,
     max_rows: int | None = None,
-    vmem_budget: int = 11 * 2**20,
+    vmem_budget: int = 30 * 2**20,
 ):
     """Build the whole-tail cache for ``ml.levels[start:]`` + the coarse
     solve, or None if any tail level fails the lattice/box-k/smoother gate
@@ -179,7 +230,7 @@ def build_fused_tail_cache(
     from ..lattice_op import expand_planes_device
 
     if max_rows is None:
-        max_rows = int(os.environ.get("AMG_TAIL_MAX_ROWS", 120_000))
+        max_rows = int(os.environ.get("AMG_TAIL_MAX_ROWS", 250_000))
     tail = levels[start:]
     if not tail:
         return None
@@ -222,9 +273,10 @@ def build_fused_tail_cache(
         return None
 
     metas = []
-    arrs = dict(A=[], dinv=[], Rp=[], SRx=[], SRy=[], Pp=[], UPx=[], UPy=[])
+    arrs = dict(A=[], dinv=[], Rp=[], SRx=[], SRy=[], Pp=[], UPx=[], UPy=[], Tp=[], Sp=[])
     vmem = 0
-    for sA, sR, sP, cfg, colored in checked:
+    for lvl_i, (sA, sR, sP, cfg, colored) in enumerate(checked):
+        level = tail[lvl_i]
         grid, n_colors = colored
         k = sR.base_x[0]
         dims = tuple(sA.row_dims)
@@ -234,13 +286,38 @@ def build_fused_tail_cache(
 
         omega = float(cfg.omega) if isinstance(cfg, SOR) else 1.0
         steps = _steps_list(n_colors, cfg.iter, True, True)
-
-        SRx, idxRx = _sel_stack([d for d, _ in sR.offsets], box[0], cbox[0], cdims[0], k, "R", npdt)
-        SRy, idxRy = _sel_stack([d for _, d in sR.offsets], box[1], cbox[1], cdims[1], k, "R", npdt)
-        UPx, idxPx = _sel_stack([d for d, _ in sP.offsets], box[0], cbox[0], cdims[0], k, "P", npdt)
-        UPy, idxPy = _sel_stack([d for _, d in sP.offsets], box[1], cbox[1], cdims[1], k, "P", npdt)
-
         comp = jnp.float64 if jnp.dtype(dtype).itemsize == 8 else jnp.float32
+
+        # factored form when the SA setup stashed a single-offset T + scale
+        specT = _factored_spec(level, k, dims, cdims)
+        pS = _scale_plane(level, dims, npdt) if specT is not None else None
+        factored = specT is not None and pS is not None
+
+        dummy = jnp.zeros((1, 1), dtype=jnp.dtype(coef_dtype))
+        if factored:
+            # residue subsamples: x/y selectors for δ ∈ [0, k) (index = δ)
+            SRx, idxRx = _sel_stack(list(range(k)), box[0], cbox[0], cdims[0], k, "R", npdt)
+            SRy, idxRy = _sel_stack(list(range(k)), box[1], cbox[1], cdims[1], k, "R", npdt)
+            UPx, idxPx = _sel_stack([0], box[0], cbox[0], cdims[0], k, "P", npdt)
+            UPy, idxPy = _sel_stack([0], box[1], cbox[1], cdims[1], k, "P", npdt)
+            idxT = specT.offsets.index((0, 0))
+            pT = specT.expand(idxT, dtype=npdt)
+            Tp = jnp.asarray(
+                np.asarray(_pad_np(pT, box)), dtype=jnp.dtype(coef_dtype)
+            )
+            Sp = jnp.asarray(
+                np.asarray(_pad_np(pS, box)), dtype=jnp.dtype(coef_dtype)
+            )
+            Rp = Pp = dummy
+        else:
+            SRx, idxRx = _sel_stack([d for d, _ in sR.offsets], box[0], cbox[0], cdims[0], k, "R", npdt)
+            SRy, idxRy = _sel_stack([d for _, d in sR.offsets], box[1], cbox[1], cdims[1], k, "R", npdt)
+            UPx, idxPx = _sel_stack([d for d, _ in sP.offsets], box[0], cbox[0], cdims[0], k, "P", npdt)
+            UPy, idxPy = _sel_stack([d for _, d in sP.offsets], box[1], cbox[1], cdims[1], k, "P", npdt)
+            Rp = _pad_planes(expand_planes_device(sR, dtype), cbox)
+            Pp = _pad_planes(expand_planes_device(sP, comp), box).astype(coef_dtype)
+            Tp = Sp = dummy
+
         A_planes = _pad_planes(expand_planes_device(sA, comp), box)
         diag = None
         for kk, (dx, dy) in enumerate(sA.offsets):
@@ -252,12 +329,14 @@ def build_fused_tail_cache(
 
         arrs["A"].append(A_planes.astype(coef_dtype))
         arrs["dinv"].append(dinv.astype(dtype))
-        arrs["Rp"].append(_pad_planes(expand_planes_device(sR, dtype), cbox))
+        arrs["Rp"].append(Rp)
         arrs["SRx"].append(jnp.asarray(SRx))
         arrs["SRy"].append(jnp.asarray(SRy))
-        arrs["Pp"].append(_pad_planes(expand_planes_device(sP, comp), box).astype(coef_dtype))
+        arrs["Pp"].append(Pp)
         arrs["UPx"].append(jnp.asarray(UPx))
         arrs["UPy"].append(jnp.asarray(UPy))
+        arrs["Tp"].append(Tp)
+        arrs["Sp"].append(Sp)
 
         metas.append(
             TailLevelMeta(
@@ -276,6 +355,7 @@ def build_fused_tail_cache(
                 box=box,
                 cdims=cdims,
                 cbox=cbox,
+                factored=factored,
             )
         )
 
@@ -319,6 +399,8 @@ def build_fused_tail_cache(
         Pp=tuple(arrs["Pp"]),
         UPx=tuple(arrs["UPx"]),
         UPy=tuple(arrs["UPy"]),
+        Tp=tuple(arrs["Tp"]),
+        Sp=tuple(arrs["Sp"]),
         G=G,
         metas=tuple(metas),
         dims7=(W7x, W7y),
@@ -356,12 +438,12 @@ def _sel(m, A, B):  # exact one-hot copy matmul
 def _tail_kernel(*refs, metas, dims7):
     n_lvl = len(metas)
     x_ref, b_ref = refs[0], refs[1]
-    per = refs[2 : 2 + 8 * n_lvl]
-    g_ref = refs[2 + 8 * n_lvl]
-    out_ref = refs[2 + 8 * n_lvl + 1]
+    per = refs[2 : 2 + 10 * n_lvl]
+    g_ref = refs[2 + 10 * n_lvl]
+    out_ref = refs[2 + 10 * n_lvl + 1]
 
     def lvl_refs(l):
-        return per[8 * l : 8 * (l + 1)]
+        return per[10 * l : 10 * (l + 1)]
 
     def residual(X, B, A, offs, Bx, By):
         rsum = None
@@ -378,7 +460,7 @@ def _tail_kernel(*refs, metas, dims7):
     def go(l, X, B):
         m = metas[l]
         Bx, By = m.box
-        A_r, d_r, Rp_r, SRx_r, SRy_r, Pp_r, UPx_r, UPy_r = lvl_refs(l)
+        A_r, d_r, Rp_r, SRx_r, SRy_r, Pp_r, UPx_r, UPy_r, Tp_r, Sp_r = lvl_refs(l)
         A = A_r[...].astype(X.dtype)
         D = d_r[...]
         col = _color_plane(m)
@@ -386,29 +468,52 @@ def _tail_kernel(*refs, metas, dims7):
         X = _sweep(X, B, D, A, col, m.steps, m.omega, m.offsA, Bx, By)
         r = residual(X, B, A, m.offsA, Bx, By)
 
-        # restrict: b_c = Σ_k Rp_k ⊙ (SRx_k · r · SRyᵀ_k) — written directly
-        # at the coarse level's padded layout (halo rows of Rp are zero)
-        bc = None
-        for kk in range(len(m.offsR)):
-            sx = SRx_r[m.idxRx[kk]]
-            sy = SRy_r[m.idxRy[kk]]
-            sub = _sel(X.dtype, _sel(X.dtype, sx, r), sy.T)
-            term = Rp_r[kk] * sub
-            bc = term if bc is None else bc + term
+        if m.factored:
+            # R = Tᵀ(I − A·diag(s)): b_c = Σ_{ρ∈[0,k)²} subsample_ρ(T⊙s̃)
+            # with s̃ = r − A(s⊙r); selector index = residue δ directly.
+            # residual(·, 0) = −A·(·), so Ag = −residual(g, 0).
+            Sv = Sp_r[...].astype(X.dtype)
+            Tv = Tp_r[...].astype(X.dtype)
+            g = Sv * r
+            Ag = -residual(g, jnp.zeros_like(r), A, m.offsA, Bx, By)
+            ts = Tv * (r - Ag)
+            bc = None
+            for rx in range(m.k):
+                for ry in range(m.k):
+                    sub = _sel(X.dtype, _sel(X.dtype, SRx_r[rx], ts), SRy_r[ry].T)
+                    bc = sub if bc is None else bc + sub
+        else:
+            # restrict: b_c = Σ_k Rp_k ⊙ (SRx_k · r · SRyᵀ_k) — written
+            # directly at the coarse level's padded layout (halo rows of Rp
+            # are zero)
+            bc = None
+            for kk in range(len(m.offsR)):
+                sx = SRx_r[m.idxRx[kk]]
+                sy = SRy_r[m.idxRy[kk]]
+                sub = _sel(X.dtype, _sel(X.dtype, sx, r), sy.T)
+                term = Rp_r[kk] * sub
+                bc = term if bc is None else bc + term
 
         if l == n_lvl - 1:
             xc = _coarse_apply(bc, g_ref, metas[l].cbox, dims7)
         else:
             xc = go(l + 1, jnp.zeros_like(bc), bc)
 
-        # prolong-correct: x += Σ_k Pp_k ⊙ (UPx_k · x_c · UPyᵀ_k)
-        corr = None
-        for kk in range(len(m.offsP)):
-            ux = UPx_r[m.idxPx[kk]]
-            uy = UPy_r[m.idxPy[kk]]
-            ups = _sel(X.dtype, _sel(X.dtype, ux, xc), uy.T)
-            term = Pp_r[kk].astype(X.dtype) * ups
-            corr = term if corr is None else corr + term
+        if m.factored:
+            # P = (I − diag(s)A)T, single offset: corr = Tup − s⊙(A·Tup)
+            ups = _sel(X.dtype, _sel(X.dtype, UPx_r[0], xc), UPy_r[0].T)
+            Tup = Tp_r[...].astype(X.dtype) * ups
+            ATup = -residual(Tup, jnp.zeros_like(Tup), A, m.offsA, Bx, By)
+            corr = Tup - Sp_r[...].astype(X.dtype) * ATup
+        else:
+            # prolong-correct: x += Σ_k Pp_k ⊙ (UPx_k · x_c · UPyᵀ_k)
+            corr = None
+            for kk in range(len(m.offsP)):
+                ux = UPx_r[m.idxPx[kk]]
+                uy = UPy_r[m.idxPy[kk]]
+                ups = _sel(X.dtype, _sel(X.dtype, ux, xc), uy.T)
+                term = Pp_r[kk].astype(X.dtype) * ups
+                corr = term if corr is None else corr + term
         X = X + corr
 
         X = _sweep(X, B, D, A, col, m.steps, m.omega, m.offsA, Bx, By)
@@ -452,6 +557,7 @@ def fused_tail(cache: FusedTailCache, x, b):
         ops += [
             cache.A[l], cache.dinv[l], cache.Rp[l], cache.SRx[l],
             cache.SRy[l], cache.Pp[l], cache.UPx[l], cache.UPy[l],
+            cache.Tp[l], cache.Sp[l],
         ]
     ops.append(cache.G)
 

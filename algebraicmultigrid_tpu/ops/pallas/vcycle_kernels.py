@@ -191,11 +191,14 @@ def build_fused_leg_cache(
     # halo must cover the down leg's consumption (sweeps + residual +
     # restrict reach) AND leave a still-valid band ≥ the up leg's postsmooth
     # consumption, so the down output can hand off to up in tiled form
-    # (fused_down(..., tiled=True) → fused_up_t) without re-tiling
+    # (fused_down(..., tiled=True) → fused_up_t) without re-tiling; the
+    # cross-cycle updown kernel (corr + post + pre sweeps + residual +
+    # restrict in one call) consumes the most
     need = max(
         n_steps * reachA + reachA + max(reachR, k),  # down: sweeps+res+restrict
         2 * n_steps * reachA,                         # tiled handoff: up sweeps
         n_steps * reachA + 2 * reachA + k,            # factored restriction
+        2 * n_steps * reachA + 2 * reachA + k,        # updown
     )
     Hfx = -(-need // 4) * 4
     Hfy = 64 * (-(-need // 64))
@@ -846,3 +849,139 @@ def _xla_tile(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
         [jax.lax.slice_in_dim(slabs, j * TY, j * TY + BY, axis=2) for j in range(gy)],
         axis=1,
     )
+
+
+# --------------------------------------------------------------------------
+# updown: cross-cycle fusion — prolong-correct + postsmooth of cycle i, then
+# presmooth + residual + restrict of cycle i+1, in ONE pallas_call.  Between
+# postsmooth(i) and presmooth(i+1) nothing touches x, so the fused sequence
+# is mathematically identical to up(i); down(i+1); it halves this level's
+# kernel launches per cycle and reads the coefficient planes once instead of
+# twice.  Fixed-cycle-count drivers (bench loops) use it; convergence-checked
+# solve loops keep the down/up pair (their residual is defined after the
+# cycle, not after the next presmooth).  Factored caches only.
+# --------------------------------------------------------------------------
+
+
+def _updown_kernel(
+    x_ref, b_ref, d_ref, a_ref, t_ref, s_ref, xc_ref, xo_ref, bc_ref,
+    *, offsA, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
+):
+    BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
+    TXc, TYc = TX // k, TY // k
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
+
+    L = x_ref[0, 0]
+    B = b_ref[0, 0]
+    D = d_ref[0, 0]
+    A = a_ref[0, 0].astype(L.dtype)
+    XC = xc_ref[0, 0]
+    T = t_ref[0, 0].astype(L.dtype)
+    S = s_ref[0, 0].astype(L.dtype)
+
+    # prolong-correct (factored): corr = Tup − s⊙(A·Tup)
+    upx = jnp.repeat(XC, k, axis=0)
+    up = jnp.repeat(upx.T, k, axis=0).T
+    sx = k * Hcx - Hfx
+    sy = k * Hcy - Hfy
+    src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
+    Tup = T * src
+    corr = Tup - S * _stencil_apply(A, Tup, offsA, BX, BY)
+    L = L + corr
+
+    # postsmooth(i) then presmooth(i+1): same config (pre == post enforced)
+    L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
+    L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
+    xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
+
+    r = B - _stencil_apply(A, L, offsA, BX, BY)
+
+    # factored restriction: b_c = Σ_{ρ∈[0,k)²} subsample_ρ(T⊙(r − A(s⊙r)))
+    g = S * r
+    ts = T * (r - _stencil_apply(A, g, offsA, BX, BY))
+    M = 1
+    subs = _all_residue_subsamples(ts, Hfx, Hfy, k, TXc, TYc, M=M)
+    acc = None
+    for rx in range(k):
+        for ry in range(k):
+            sub = jax.lax.slice(subs[rx][ry], (M, M), (M + TXc, M + TYc))
+            acc = sub if acc is None else acc + sub
+    bc_ref[:] = acc
+
+
+def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
+    """(x', b_c') = down(up(x, x_c)) across the cycle boundary — one call.
+
+    ``b_or_bt`` may be the flat rhs or the pre-tiled rhs from a previous
+    ``fused_down(..., tiled=True)`` (it is loop-invariant).  Returns the flat
+    corrected+resmoothed x and the NEXT cycle's coarse rhs."""
+    if not cache.factored:
+        raise ValueError("fused_updown requires a factored cache")
+    Wx, Wy = cache.row_dims
+    Wxc, Wyc = cache.col_dims
+    TX, TY = cache.tile
+    Hfx, Hfy = cache.Hf
+    Hcx, Hcy = cache.Hc
+    k = cache.k
+    gx, gy = cache.grid
+    BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
+    TXc, TYc = TX // k, TY // k
+    dtype = cache.dinv_tiled.dtype
+    n = Wx * Wy
+    nc = Wxc * Wyc
+
+    Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+    Bt = (
+        b_or_bt
+        if b_or_bt.ndim == 4
+        else _xla_tile(b_or_bt, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+    )
+    XCt = _xla_tile(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+
+    kern = functools.partial(
+        _updown_kernel,
+        offsA=cache.offsA,
+        color_grid=cache.color_grid,
+        steps=_steps_list(cache.n_colors, cache.iter, cache.forward, cache.backward),
+        omega=cache.omega,
+        k=k,
+        Hfx=Hfx,
+        Hfy=Hfy,
+        Hcx=Hcx,
+        Hcy=Hcy,
+        TX=TX,
+        TY=TY,
+    )
+    tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec(
+        (1, 1, len(cache.offsA), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    c_spec = pl.BlockSpec(
+        (1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    xo, bc = pl.pallas_call(
+        kern,
+        grid=(gx, gy),
+        in_specs=[tile_spec, tile_spec, tile_spec, a_spec, tile_spec, tile_spec, c_spec],
+        out_specs=(
+            pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TXc, TYc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
+            jax.ShapeDtypeStruct((gx * TXc, gy * TYc), dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=cache.interpret,
+    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, cache.T_tiled, cache.S_tiled, XCt)
+
+    xo = xo[:Wx, :Wy].reshape(n).astype(x.dtype)
+    pad = x.shape[0] - n
+    if pad > 0:
+        xo = jnp.pad(xo, (0, pad))
+    bc = bc[:Wxc, :Wyc].reshape(Wxc * Wyc).astype(x.dtype)
+    return xo, bc

@@ -54,9 +54,9 @@ def main():
 
     import algebraicmultigrid_tpu as amg
     from algebraicmultigrid_tpu.models.device import (
-        _one_iteration,
         build_device_hierarchy,
         fit_len,
+        run_fixed_cycles,
         solve_refined,
     )
     from algebraicmultigrid_tpu.ops.banded import mat_vec
@@ -100,10 +100,9 @@ def main():
     @jax.jit
     def run_cycles(h, x, b):
         # h passed as a pytree argument — NOT closed over — so level arrays
-        # are runtime operands, not baked-in HLO constants
-        x = jax.lax.fori_loop(
-            0, n_cycles, lambda i, xx: _one_iteration(h, amg.V(), xx, b), x
-        )
+        # are runtime operands, not baked-in HLO constants.  The fixed-count
+        # loop uses the cross-cycle updown kernel at the top level.
+        x = run_fixed_cycles(h, x, b, n_cycles)
         res = b - fit_len(mat_vec(h.levels[0].A, x), b.shape[0])
         return x, jnp.linalg.norm(res)
 

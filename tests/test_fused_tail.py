@@ -109,3 +109,31 @@ def test_tail_w_cycle_falls_back():
     y0 = np.asarray(_one_iteration(h0, amg.W(), x, b))
     y1 = np.asarray(_one_iteration(h1, amg.W(), x, b))
     assert np.allclose(y0[:n], y1[:n], rtol=1e-12, atol=1e-13)
+
+
+def test_run_fixed_cycles_matches_iterated():
+    # cross-cycle updown fusion must produce bit-comparable results to
+    # iterating one cycle at a time
+    from algebraicmultigrid_tpu.models.device import run_fixed_cycles
+
+    A, ml = _mk()
+    os.environ["AMG_PALLAS_FUSED"] = "1"
+    os.environ["AMG_TAIL_MAX_ROWS"] = "5000"  # keep L0 out of the tail
+    try:
+        h = _hier(ml, tail=True)
+    finally:
+        os.environ.pop("AMG_PALLAS_FUSED", None)
+        os.environ.pop("AMG_TAIL_MAX_ROWS", None)
+    assert h.levels[0].fused is not None and h.levels[0].fused.factored
+    assert h.tail_start != 0
+    n = A.shape[0]
+    b = jnp.asarray(np.random.default_rng(3).standard_normal(h.fine_padded))
+    x0 = jnp.zeros_like(b)
+    x_it = x0
+    for _ in range(3):
+        x_it = _one_iteration(h, amg.V(), x_it, b)
+    x_fx = run_fixed_cycles(h, x0, b, 3)
+    y0, y1 = np.asarray(x_it), np.asarray(x_fx)
+    assert np.allclose(y0[:n], y1[:n], rtol=1e-11, atol=1e-11), (
+        np.abs(y0[:n] - y1[:n]).max()
+    )
