@@ -171,6 +171,11 @@ class DeviceHierarchy:
     # solve — kills the ~0.3 ms/op dispatch overhead of the small levels
     tail: Any = None
     tail_start: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    # phased whole-subcycle kernel (ops/pallas/subcycle_kernel.py): the mid
+    # level in slab phases + the tail recursion, one pallas_call for the
+    # ENTIRE sub-hierarchy below sub_start−1
+    sub: Any = None
+    sub_start: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     @property
     def n_fine(self) -> int:
@@ -764,9 +769,34 @@ def build_device_hierarchy(
                 tail_start = start
                 break
 
+    # phased whole-subcycle kernel: one call for [sub_start, end] — covers
+    # the level just above the tail when it qualifies (bigger than the tail
+    # budget but slab-tileable)
+    # measured on TPU v5e at 4096²: the phased one-call subcycle is ~1.1 ms
+    # SLOWER per cycle than the mid-level leg pair + tail it replaces (its
+    # sequential phase grid loses more to per-step stalls than the two saved
+    # ~0.6 ms launches) — opt-in until that is understood
+    sub, sub_start = None, -1
+    subflag = os.environ.get("AMG_PALLAS_SUB", "")
+    if (
+        subflag == "1"
+        and tail is not None
+        # sub_start must be a coarse level (zero initial guess baked in);
+        # level 0 receives real iterates and keeps its own kernels
+        and tail_start >= 2
+    ):
+        from ..ops.pallas.subcycle_kernel import build_fused_subcycle_cache
+
+        sub = build_fused_subcycle_cache(
+            ml.levels, ml, tail_start - 1, dtype, interpret=not on_tpu
+        )
+        if sub is not None:
+            sub_start = tail_start - 1
+
     return DeviceHierarchy(
         levels=tuple(out), coarse=coarse, final_A=final_dev,
         tail=tail, tail_start=tail_start,
+        sub=sub, sub_start=sub_start,
     )
 
 
@@ -803,6 +833,16 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
         if lvl + 1 < len(h.levels)
         else h.coarse.rows_padded
     )
+
+    if h.sub is not None and lvl == h.sub_start and isinstance(cycle, V) and x.ndim == 1:
+        # phased whole-subcycle: this level in slabs + the entire tail, one
+        # pallas_call.  Coarse-level cycles always start from the zero guess
+        # (multilevel.jl:225), which the kernel bakes in — callers reach here
+        # only through the parent's zero-initialised recursion.
+        from ..ops.pallas.subcycle_kernel import fused_subcycle
+
+        with jax.named_scope(f"L{lvl}/fused_subcycle"):
+            return fit_len(fused_subcycle(h.sub, b), n_here)
 
     if h.tail is not None and lvl == h.tail_start and isinstance(cycle, V) and x.ndim == 1:
         # whole remaining tail (every level ≥ lvl + coarse solve) in ONE

@@ -1,0 +1,469 @@
+"""Phased whole-subcycle kernel: an entire sub-hierarchy V-cycle in ONE
+pallas_call (Pallas TPU).
+
+A pallas_call costs ~0.6 ms fixed on this stack, so the mid level's down/up
+pair plus the tail kernel (3 launches) dominate the time spent below the
+finest grid.  This kernel runs the complete V-cycle of levels ``[t, end]`` —
+presmooth/residual/restrict of level t, the whole-plane tail recursion for
+every deeper level plus the dense coarse solve, then prolong-correct/
+postsmooth of level t — as one sequential ("arbitrary") pallas grid:
+
+* phase A (steps ``0..g−1``): level t processed in full-width SLABS (1-D
+  x-tiling; lane axis untiled, so no lane-halo duplication).  Each slab
+  presmooths from zero, computes the factored restriction of its residual,
+  stores its interior to a VMEM ``x_mid`` scratch and its owned coarse rows
+  to a ``b_c`` scratch.  Slab ownership of coarse rows is exact because the
+  slab height is a multiple of 8·k.
+* phase B (step ``g``): the existing whole-tail recursion
+  (:func:`tail_kernel._tail_go`) runs on the ``b_c`` scratch — all deeper
+  levels and the coarse solve — writing ``x_c`` scratch.
+* phase C (steps ``g+1..2g``): each slab re-reads its halo window of
+  ``x_mid`` (exact values — no over-compute staleness), applies the factored
+  prolongation from ``x_c`` (sublane repeat + one-hot lane-upsample matmul),
+  postsmooths, and writes the output block.
+
+Level-t semantics are identical to _cycle at that level (multilevel.jl:
+214-239 with the V recursion); the factored forms are those of
+vcycle_kernels.py.  V-cycles only; requires the factored (T, s) stash on the
+top level and tail-compatible deeper levels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tail_kernel import (
+    FusedTailCache,
+    TailLevelMeta,
+    _H,
+    _tail_go,
+    build_fused_tail_cache,
+)
+from .vcycle_kernels import _steps_list, _stencil_apply, _sweep, _tile_plane
+
+__all__ = ["FusedSubcycleCache", "build_fused_subcycle_cache", "fused_subcycle"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FusedSubcycleCache:
+    # top-level slab-tiled coefficient data
+    A1: jax.Array      # [g1, nA, B1x, By1] coefficient dtype
+    d1: jax.Array      # [g1, B1x, By1] working dtype
+    T1: jax.Array      # [g1, B1x, By1] coefficient dtype
+    S1: jax.Array      # [g1, B1x, By1] coefficient dtype
+    SRyT: jax.Array    # [k, By1, C2y] one-hot lane-subsample (pre-transposed)
+    UPyT: jax.Array    # [C2y, By1] one-hot lane-upsample (pre-transposed)
+    tail: FusedTailCache
+    offsA: Tuple[Tuple[int, int], ...] = dataclasses.field(metadata=dict(static=True))
+    color_grid: Tuple[Tuple[int, ...], ...] = dataclasses.field(metadata=dict(static=True))
+    steps: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    omega: float = dataclasses.field(metadata=dict(static=True))
+    k: int = dataclasses.field(metadata=dict(static=True))
+    dims: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))   # (Wx1, Wy1)
+    cdims: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))  # level t+1 logical
+    TX1: int = dataclasses.field(metadata=dict(static=True))
+    H1: int = dataclasses.field(metadata=dict(static=True))
+    By1: int = dataclasses.field(metadata=dict(static=True))
+    g1: int = dataclasses.field(metadata=dict(static=True))
+    R2: int = dataclasses.field(metadata=dict(static=True))  # bc2/xc2 scratch rows
+    interpret: bool = dataclasses.field(metadata=dict(static=True))
+    vmem_bytes: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _lane_sel(kind, k, By1, C2y, Wc_y, dtype):
+    """One-hot lane selectors with the fine lane axis at offset 0 and the
+    coarse lane axis at the tail-box offset _H.
+
+    'R': [k, By1, C2y] — SRyT[r][j, c'] = 1 iff c'−_H == (j−r)/k exactly
+         (i.e. fine lane j = k·(c'−_H) + r), used as ``pick @ SRyT[r]``.
+    'P': [C2y, By1] — UPyT[c', j] = 1 iff c'−_H == j//k, used as
+         ``up_rows @ UPyT``.
+    """
+    if kind == "R":
+        out = np.zeros((k, By1, C2y), dtype=dtype)
+        for r in range(k):
+            for cp in range(C2y):
+                c = cp - _H
+                if 0 <= c < Wc_y:
+                    j = k * c + r
+                    if 0 <= j < By1:
+                        out[r, j, cp] = 1.0
+        return out
+    out = np.zeros((C2y, By1), dtype=dtype)
+    for j in range(By1):
+        cp = j // k + _H
+        if 0 <= cp < C2y:
+            out[cp, j] = 1.0
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g1", "TX1", "H1", "By1", "diag_idx", "dtype_name", "coef_name"),
+)
+def _build_slabs_jit(TA, cxA, cyA, TT, cxT, cyT, TS, cxS, cyS, *,
+                     g1, TX1, H1, By1, diag_idx, dtype_name, coef_name):
+    """Slab-tile the top level's planes on device (x-halo only, full lanes)."""
+    dt = jnp.dtype(dtype_name)
+    ct = jnp.dtype(coef_name)
+
+    def planes(T, cx, cy):
+        Ex = (cx[:, None] == jnp.arange(T.shape[-2], dtype=cx.dtype)).astype(T.dtype)
+        Ey = (cy[:, None] == jnp.arange(T.shape[-1], dtype=cy.dtype)).astype(T.dtype)
+        if T.ndim == 2:
+            return jnp.einsum("xc,cd,yd->xy", Ex, T, Ey, precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("xc,kcd,yd->kxy", Ex, T, Ey, precision=jax.lax.Precision.HIGHEST)
+
+    def slab(p):  # [Wx, Wy] → [g1, TX1+2H1, By1]
+        return _tile_plane(p, g1, 1, TX1, By1, H1, 0)[:, 0]
+
+    pA = planes(TA, cxA, cyA)
+    A1 = jnp.moveaxis(jax.vmap(slab)(pA), 0, 1).astype(ct)
+    diag = pA[diag_idx]
+    dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0).astype(dt)
+    d1 = slab(dv)
+    T1 = slab(planes(TT, cxT, cyT)).astype(ct)
+    S1 = slab(planes(TS, cxS, cyS)).astype(ct)
+    return A1, d1, T1, S1
+
+
+def build_fused_subcycle_cache(
+    levels, ml, start: int, dtype, coef_dtype=None, interpret: bool = False,
+    max_rows: int | None = None, vmem_budget: int = 48 * 2**20,
+):
+    """One-call subcycle cache for ``levels[start:]``, or None."""
+    from ...config import GaussSeidel, SOR, SymmetricSweep
+    from ...models.lattice import LatticeMatrix, lattice_coloring
+    from .tail_kernel import _factored_spec, _scale_plane
+
+    if max_rows is None:
+        max_rows = int(os.environ.get("AMG_SUB_MAX_ROWS", 2_500_000))
+    if start >= len(levels):
+        return None
+    top = levels[start]
+    if top.A.shape[0] > max_rows:
+        return None
+    if not all(isinstance(M, LatticeMatrix) for M in (top.A, top.P, top.R)):
+        return None
+    sA, sR = top.A.spec, top.R.spec
+    if sA.base_x != (1, 1) or sA.base_y != (1, 1):
+        return None
+    kx, ky = sR.base_x, sR.base_y
+    if kx != ky or kx[1] != 1 or kx[0] not in (2, 3):
+        return None
+    k = kx[0]
+    cfg = top.presmoother_config
+    if cfg != top.postsmoother_config:
+        return None
+    if not (isinstance(cfg, (GaussSeidel, SOR)) and cfg.ordering == "multicolor"):
+        return None
+    if not isinstance(cfg.sweep, SymmetricSweep):
+        return None
+    colored = lattice_coloring(sA)
+    if colored is None:
+        return None
+    grid, n_colors = colored
+    dims = tuple(sA.row_dims)
+    cdims = tuple(sR.row_dims)
+    specT = _factored_spec(top, k, dims, cdims)
+    if specT is None:
+        return None
+    npdt = np.float32 if jnp.dtype(dtype).itemsize <= 4 else np.dtype(dtype)
+    pS = _scale_plane(top, dims, npdt)
+    if pS is None:
+        return None
+    reachA = max((max(abs(dx), abs(dy)) for dx, dy in sA.offsets), default=0)
+    if reachA > 2:
+        return None
+
+    if coef_dtype is None:
+        coef_dtype = (
+            jnp.bfloat16
+            if os.environ.get("AMG_COEF_DTYPE", "") == "bfloat16"
+            else dtype
+        )
+    # deeper levels as a whole-plane tail (must reach the true coarse solve)
+    tail = build_fused_tail_cache(
+        levels, ml, start + 1, dtype, coef_dtype=coef_dtype,
+        interpret=interpret, max_rows=10**9,
+    )
+    if tail is None:
+        return None
+    if tuple(tail.metas[0].dims) != cdims:
+        return None
+    C2x, C2y = tail.metas[0].box
+
+    Wx1, Wy1 = dims
+    By1 = -(-Wy1 // 128) * 128
+    H1 = 8 * k * ((max(
+        _steps_len(n_colors, cfg) * reachA + 2 * reachA + k,   # down
+        _steps_len(n_colors, cfg) * reachA + reachA,           # up
+    ) + 8 * k - 1) // (8 * k))
+    TX1 = 8 * k
+    item = jnp.dtype(dtype).itemsize
+    item_c = jnp.dtype(coef_dtype).itemsize
+    nA = len(sA.offsets)
+
+    def vmem(tx):
+        b1x = tx + 2 * H1
+        per_slab = (
+            item * 2 * b1x * By1          # b block + L
+            + item_c * (nA + 2) * b1x * By1
+            + item * b1x * By1            # dinv
+            + item * tx * By1             # out block
+        )
+        scratch = (
+            item * ((-(-Wx1 // tx)) * tx + 2 * H1) * By1    # x_mid
+            + 2 * item * _r2(tx) * C2y
+        )
+        return 2 * per_slab + scratch + tail.vmem_bytes + item * 4 * b1x * By1
+
+    def _r2(tx):
+        g = -(-Wx1 // tx)
+        return max(C2x, (g * tx + H1) // k + 2 * _H + 8)
+
+    while vmem(TX1 + 8 * k) < vmem_budget and TX1 < 30 * 8 * k:
+        TX1 += 8 * k
+    if vmem(TX1) > vmem_budget:
+        return None
+    g1 = -(-Wx1 // TX1)
+    B1x = TX1 + 2 * H1
+    R2 = _r2(TX1)
+    # lane-subsample bound: the deepest fine lane k·(C2y−_H−1)+k−1 must not
+    # exceed By1 structurally — guaranteed since selectors zero out of range
+
+    # slab-tiled top-level planes (device-side expansion)
+    try:
+        diag_idx = sA.offsets.index((0, 0))
+    except ValueError:
+        return None
+    idxT = specT.offsets.index((0, 0))
+    cxA, cyA = sA.row_class_arrays()
+    cxT, cyT = specT.row_class_arrays()
+    A1, d1, T1, S1 = _build_slabs_jit(
+        jnp.asarray(np.asarray(sA.table, dtype=npdt)),
+        jnp.asarray(cxA.astype(np.int32)), jnp.asarray(cyA.astype(np.int32)),
+        jnp.asarray(np.asarray(specT.table[idxT], dtype=npdt)),
+        jnp.asarray(cxT.astype(np.int32)), jnp.asarray(cyT.astype(np.int32)),
+        jnp.asarray(pS.astype(npdt)),
+        jnp.asarray(np.arange(Wx1, dtype=np.int32)),
+        jnp.asarray(np.arange(Wy1, dtype=np.int32)),
+        g1=g1, TX1=TX1, H1=H1, By1=By1, diag_idx=diag_idx,
+        dtype_name=jnp.dtype(dtype).name, coef_name=jnp.dtype(coef_dtype).name,
+    )
+
+    sel_np = np.float32 if jnp.dtype(coef_dtype) == jnp.bfloat16 else npdt
+    SRyT = jnp.asarray(_lane_sel("R", k, By1, C2y, cdims[1], sel_np)).astype(jnp.dtype(coef_dtype))
+    UPyT = jnp.asarray(_lane_sel("P", k, By1, C2y, cdims[1], sel_np)).astype(jnp.dtype(coef_dtype))
+
+    vb = int(vmem(TX1))
+    return FusedSubcycleCache(
+        A1=A1, d1=d1, T1=T1, S1=S1, SRyT=SRyT, UPyT=UPyT, tail=tail,
+        offsA=sA.offsets,
+        color_grid=tuple(tuple(int(c) for c in row) for row in np.asarray(grid)),
+        steps=_steps_list(n_colors, cfg.iter, True, True),
+        omega=float(cfg.omega) if isinstance(cfg, SOR) else 1.0,
+        k=k, dims=dims, cdims=cdims, TX1=TX1, H1=H1, By1=By1, g1=g1, R2=R2,
+        interpret=interpret, vmem_bytes=vb,
+    )
+
+
+def _steps_len(n_colors, cfg):
+    return 2 * n_colors * cfg.iter  # symmetric sweep
+
+
+# --------------------------------------------------------------------------
+# kernel
+# --------------------------------------------------------------------------
+
+
+def _color_slab(p, TX1, H1, B1x, By1, color_grid):
+    tab = np.asarray(color_grid)
+    a, b = tab.shape
+    px = jax.lax.broadcasted_iota(jnp.int32, (B1x, By1), 0)
+    py = jax.lax.broadcasted_iota(jnp.int32, (B1x, By1), 1)
+    cx = (p * TX1 + px - H1 + 16384 * a) % a
+    cy = (py + 16384 * b) % b
+    out = jnp.zeros((B1x, By1), jnp.int32)
+    for u in range(a):
+        for v in range(b):
+            out = jnp.where((cx == u) & (cy == v), tab[u, v], out)
+    return out
+
+
+def _subcycle_kernel(*refs, meta, tail_metas, tail_dims7):
+    (offsA, color_grid, steps, omega, k, dims, cdims,
+     TX1, H1, By1, g1, R2, C2x, C2y) = meta
+    B1x = TX1 + 2 * H1
+    n_tail = len(tail_metas)
+
+    bt_ref, a1_ref, d1_ref, t1_ref, s1_ref, sry_ref, upy_ref = refs[:7]
+    tail_per = refs[7 : 7 + 10 * n_tail]
+    g_ref = refs[7 + 10 * n_tail]
+    out_ref = refs[7 + 10 * n_tail + 1]
+    xmid, bc2s, xc2s = refs[7 + 10 * n_tail + 2 :]
+
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _init():
+        xmid[...] = jnp.zeros_like(xmid)
+        bc2s[...] = jnp.zeros_like(bc2s)
+
+    @pl.when(p < g1)
+    def _down():
+        B = bt_ref[0]
+        A = [a1_ref[0, kk].astype(B.dtype) for kk in range(len(offsA))]
+        D = d1_ref[0]
+        T = t1_ref[0].astype(B.dtype)
+        S = s1_ref[0].astype(B.dtype)
+        col = _color_slab(p, TX1, H1, B1x, By1, color_grid)
+
+        L = _sweep(jnp.zeros_like(B), B, D, A, col, steps, omega, offsA, B1x, By1)
+        xmid[pl.ds(p * TX1 + H1, TX1), :] = L[H1 : H1 + TX1, :]
+
+        r = B - _stencil_apply(A, L, offsA, B1x, By1)
+        g = S * r
+        ts = T * (r - _stencil_apply(A, g, offsA, B1x, By1))
+        ts_int = ts[H1 : H1 + TX1, :]
+        acc = None
+        for rx in range(k):
+            pick = ts_int.reshape(TX1 // k, k, By1)[:, rx, :]
+            for ry in range(k):
+                sub = jax.lax.dot_general(
+                    pick, sry_ref[ry].astype(pick.dtype), (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                acc = sub if acc is None else acc + sub
+        bc2s[pl.ds(_H + p * (TX1 // k), TX1 // k), :] = acc
+
+    @pl.when(p == g1)
+    def _mid():
+        bc2 = bc2s[0:C2x, :]
+        xc2 = _tail_go(
+            tail_per, g_ref, tail_metas, tail_dims7,
+            jnp.zeros_like(bc2), bc2,
+        )
+        xc2s[0:C2x, :] = xc2
+
+    @pl.when(p > g1)
+    def _up():
+        q = p - g1 - 1
+        B = bt_ref[0]
+        A = [a1_ref[0, kk].astype(B.dtype) for kk in range(len(offsA))]
+        D = d1_ref[0]
+        T = t1_ref[0].astype(B.dtype)
+        S = s1_ref[0].astype(B.dtype)
+        col = _color_slab(q, TX1, H1, B1x, By1, color_grid)
+
+        L = xmid[pl.ds(q * TX1, B1x), :]
+        # cstart = (q·TX1 − H1)//k + _H, written so Mosaic can prove the
+        # dynamic part is a multiple of 8 (no division of the traced term:
+        # TX1//k is a multiple of 8, and _H − H1//k is a constant multiple)
+        cstart = q * (TX1 // k) + (_H - H1 // k)
+        xc_rows = xc2s[pl.ds(cstart, B1x // k), :]
+        up_rows = jnp.repeat(xc_rows, k, axis=0)  # (B1x, C2y)
+        up_f = jax.lax.dot_general(
+            up_rows, upy_ref[...].astype(B.dtype),
+            (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST,
+        )
+        Tup = T * up_f
+        corr = Tup - S * _stencil_apply(A, Tup, offsA, B1x, By1)
+        L = L + corr
+        L = _sweep(L, B, D, A, col, steps, omega, offsA, B1x, By1)
+        out_ref[:] = L[H1 : H1 + TX1, :]
+
+
+def fused_subcycle(cache: FusedSubcycleCache, bc):
+    """x_c for level ``start`` — one V-cycle over the whole sub-hierarchy
+    from zero initial guess, ONE pallas_call."""
+    Wx1, Wy1 = cache.dims
+    TX1, H1, By1, g1 = cache.TX1, cache.H1, cache.By1, cache.g1
+    B1x = TX1 + 2 * H1
+    n = Wx1 * Wy1
+    dtype = cache.d1.dtype
+    C2x, C2y = cache.tail.metas[0].box
+
+    Bg = bc[:n].reshape(Wx1, Wy1).astype(dtype)
+    Bt = _tile_plane(jnp.pad(Bg, ((0, 0), (0, By1 - Wy1))), g1, 1, TX1, By1, H1, 0)[:, 0]
+
+    meta = (
+        cache.offsA, cache.color_grid, cache.steps, cache.omega, cache.k,
+        cache.dims, cache.cdims, TX1, H1, By1, g1, cache.R2, C2x, C2y,
+    )
+    kern = functools.partial(
+        _subcycle_kernel,
+        meta=meta,
+        tail_metas=cache.tail.metas,
+        tail_dims7=cache.tail.dims7,
+    )
+
+    def bmap(pp):
+        return (jnp.where(pp < g1, pp, jnp.maximum(pp - g1 - 1, 0)), 0, 0)
+
+    def bmap4(pp):
+        return (jnp.where(pp < g1, pp, jnp.maximum(pp - g1 - 1, 0)), 0, 0, 0)
+
+    slab_spec = pl.BlockSpec((1, B1x, By1), bmap, memory_space=pltpu.VMEM)
+    a_spec = pl.BlockSpec((1, len(cache.offsA), B1x, By1), bmap4, memory_space=pltpu.VMEM)
+
+    def whole(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda pp: (0,) * nd, memory_space=pltpu.VMEM)
+
+    t = cache.tail
+    tail_ops = []
+    for l in range(len(t.metas)):
+        tail_ops += [
+            t.A[l], t.dinv[l], t.Rp[l], t.SRx[l], t.SRy[l],
+            t.Pp[l], t.UPx[l], t.UPy[l], t.Tp[l], t.Sp[l],
+        ]
+
+    ops = [Bt, cache.A1, cache.d1, cache.T1, cache.S1, cache.SRyT, cache.UPyT]
+    ops += tail_ops
+    ops.append(t.G)
+
+    in_specs = [slab_spec, a_spec, slab_spec, slab_spec, slab_spec,
+                whole(cache.SRyT), whole(cache.UPyT)]
+    in_specs += [whole(a) for a in tail_ops]
+    in_specs.append(whole(t.G))
+
+    out = pl.pallas_call(
+        kern,
+        grid=(2 * g1 + 1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (TX1, By1),
+            lambda pp: (jnp.where(pp > g1, pp - g1 - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g1 * TX1, By1), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g1 * TX1 + 2 * H1, By1), dtype),
+            pltpu.VMEM((cache.R2, C2y), dtype),
+            pltpu.VMEM((cache.R2, C2y), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # Mosaic's scoped accounting runs ~2× the analytic estimate
+            # (phase temporaries + double buffering); v5e has 128 MB VMEM
+            vmem_limit_bytes=112 * 2**20,
+        ),
+        interpret=cache.interpret,
+    )(*ops)
+
+    xo = out[:Wx1, :Wy1].reshape(n).astype(bc.dtype)
+    pad = bc.shape[0] - n
+    if pad > 0:
+        xo = jnp.pad(xo, (0, pad))
+    return xo

@@ -441,6 +441,13 @@ def _tail_kernel(*refs, metas, dims7):
     per = refs[2 : 2 + 10 * n_lvl]
     g_ref = refs[2 + 10 * n_lvl]
     out_ref = refs[2 + 10 * n_lvl + 1]
+    out_ref[...] = _tail_go(per, g_ref, metas, dims7, x_ref[...], b_ref[...])
+
+
+def _tail_go(per, g_ref, metas, dims7, X0, B0):
+    """The whole-tail V-cycle recursion on VMEM values — shared by the
+    standalone tail kernel and the phased subcycle kernel's mid phase."""
+    n_lvl = len(metas)
 
     def lvl_refs(l):
         return per[10 * l : 10 * (l + 1)]
@@ -519,7 +526,7 @@ def _tail_kernel(*refs, metas, dims7):
         X = _sweep(X, B, D, A, col, m.steps, m.omega, m.offsA, Bx, By)
         return X
 
-    out_ref[...] = go(0, x_ref[...], b_ref[...])
+    return go(0, X0, B0)
 
 
 def _coarse_apply(bc, g_ref, cbox, dims7):

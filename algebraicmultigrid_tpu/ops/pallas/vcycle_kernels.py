@@ -75,6 +75,20 @@ class FusedLegCache:
     T_tiled: Any = None           # [gx, gy, BX, BY] coefficient dtype
     S_tiled: Any = None           # [gx, gy, BX, BY] ω·D̃⁻¹, coefficient dtype
     factored: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # in-kernel table expansion: instead of streaming ANY coefficient plane
+    # from HBM (A/dinv/T/s ≈ 60% of a leg's traffic at practical ~250 GB/s),
+    # ship only the O(K²) class tables and expand per tile inside the kernel
+    # with one-hot MXU matmuls; out-of-domain rows produce out-of-range class
+    # ids, whose one-hot rows are all-zero — exactly the zero padding the
+    # streamed planes carried.  dinv is derived from A's diagonal plane.
+    tabA: Any = None              # [nA, ncxA, ncyA] f32
+    tabT: Any = None              # [ncxT, ncyT] f32
+    tabS: Any = None              # [ncxS, ncyS] f32
+    clsA: Any = dataclasses.field(default=None, metadata=dict(static=True))  # (Kx, sx, Ky, sy, Wx, Wy)
+    clsT: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    clsS: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    diag_idx: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    expand_in_kernel: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def grid(self):
@@ -247,10 +261,39 @@ def build_fused_leg_cache(
         ):
             specT, scale_info = specT_c, scale_c
     factored = specT is not None
+    # measured on TPU v5e: in-kernel expansion LOSES to streamed bf16 planes
+    # (74 vs 94 Gnnz/s at 4096²) — the per-tile one-hot matmuls have a tiny
+    # contraction dim (~20) and poor MXU utilisation, costing more than the
+    # ~550 MB/cycle of plane streaming they save at ~250 GB/s practical HBM
+    # bandwidth.  Off unless explicitly requested.
+    expand_ik = (
+        factored
+        and os.environ.get("AMG_KERNEL_EXPAND", "") == "1"
+        and isinstance(scale_info, tuple)
+        and scale_info
+        and scale_info[0] == "table"
+        and np.dtype(specA.table.dtype).kind == "f"
+        and (0, 0) in specA.offsets
+    )
 
     def vmem_need(tx):
         bx, by = tx + 2 * Hfx, TY + 2 * Hfy
         txc, tyc = tx // k, TY // k
+        if expand_ik:
+            # streamed: x, b, xc in; x, bc out (double-buffered).  All
+            # coefficient planes are kernel locals expanded from the tables.
+            ops = 2 * (
+                item * 2 * bx * by
+                + item * (txc + 2 * Hcx) * (tyc + 2 * Hcy)
+                + item * bx * by
+                + item * txc * tyc
+            )
+            tmp = item * (
+                (nA + 3) * bx * by
+                + (k * (txc + 2 * Hcx)) * (k * (tyc + 2 * Hcy))
+                + 3 * bx * by
+            )
+            return ops + tmp
         n_fine_coef = (nA + 2 + 1) if factored else (nA + nP + 1)
         n_coarse_coef = 0 if factored else nR
         # double-buffered operands
@@ -303,7 +346,26 @@ def build_fused_leg_cache(
         return v, np.arange(Wx), np.arange(Wy)
 
     T_tiled = S_tiled = None
-    if host_expand:
+    tabA = tabT = tabS = None
+    clsA = clsT = clsS = None
+    diag_idx_f = -1
+    if expand_ik:
+        # ship only the O(K²) class tables; everything expands in-kernel
+        diag_idx_f = specA.offsets.index((0, 0))
+        idxT = specT.offsets.index((0, 0))
+        _, tblS, (KxS, sxS, KyS, syS) = scale_info
+        tab_np = np.float32 if jnp.dtype(dtype).itemsize <= 4 else np.dtype(dtype)
+        tabA = jnp.asarray(np.asarray(specA.table, dtype=tab_np))
+        tabT = jnp.asarray(np.asarray(specT.table[idxT], dtype=tab_np))
+        tabS = jnp.asarray(np.asarray(tblS, dtype=tab_np))
+        clsA = (specA.Kx, specA.sx, specA.Ky, specA.sy, Wx, Wy)
+        clsT = (specT.Kx, specT.sx, specT.Ky, specT.sy, Wx, Wy)
+        clsS = (KxS, sxS, KyS, syS, Wx, Wy)
+        dummy = jnp.zeros((1, 1), dtype=jnp.dtype(dtype))
+        dummy_c = jnp.zeros((1, 1), dtype=jnp.dtype(coef_dtype))
+        A_tiled = R_tiled = P_tiled = T_tiled = S_tiled = dummy_c
+        dinv_tiled = dummy  # keeps cache.dinv_tiled.dtype = working dtype
+    elif host_expand:
         # host fallback: O(n) expand + full-plane upload (exotic dtypes, debug)
         A_tiled = np.zeros((gx, gy, nA, BX, BY), dtype=cnp)
         for kk in range(nA):
@@ -402,6 +464,14 @@ def build_fused_leg_cache(
         T_tiled=T_tiled,
         S_tiled=S_tiled,
         factored=factored,
+        tabA=tabA,
+        tabT=tabT,
+        tabS=tabS,
+        clsA=clsA,
+        clsT=clsT,
+        clsS=clsS,
+        diag_idx=diag_idx_f,
+        expand_in_kernel=expand_ik,
     )
 
 
@@ -482,6 +552,53 @@ def _stencil_apply(A, X, offs, BX, BY):
     return acc
 
 
+def _doth(A, B):
+    return jax.lax.dot_general(
+        A, B, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _expand_tab_ik(T, cls, i, j, TX, TY, Hfx, Hfy, BX, BY, dtype):
+    """Expand a (…, ncx, ncy) class table to full (…, BX, BY) planes inside
+    the kernel: one-hot selection matmuls over the boundary-class ids of the
+    tile's global coordinates.  Out-of-domain coordinates produce class ids
+    outside [0, ncls) whose one-hot rows are all-zero — reproducing the zero
+    halo padding of the streamed planes exactly (HIGHEST precision one-hot
+    matmul is an exact copy)."""
+    Kx, sx, Ky, sy, Wx, Wy = cls
+    ncx, ncy = T.shape[-2], T.shape[-1]
+    gxp = jax.lax.broadcasted_iota(jnp.int32, (BX, ncx), 0) + (i * TX - Hfx)
+    cx = jnp.where(
+        gxp < Kx,
+        gxp,
+        jnp.where(gxp < Wx - Kx, Kx + gxp % sx, Kx + sx + gxp - (Wx - Kx)),
+    )
+    Ex = (cx == jax.lax.broadcasted_iota(jnp.int32, (BX, ncx), 1)).astype(dtype)
+    # build Ey pre-transposed (ncy, BY) — avoids a per-plane tiny-lane relayout
+    gyp = jax.lax.broadcasted_iota(jnp.int32, (ncy, BY), 1) + (j * TY - Hfy)
+    cy = jnp.where(
+        gyp < Ky,
+        gyp,
+        jnp.where(gyp < Wy - Ky, Ky + gyp % sy, Ky + sy + gyp - (Wy - Ky)),
+    )
+    EyT = (cy == jax.lax.broadcasted_iota(jnp.int32, (ncy, BY), 0)).astype(dtype)
+    Tv = T.astype(dtype)
+    if Tv.ndim == 2:
+        return _doth(_doth(Ex, Tv), EyT)
+    return [_doth(_doth(Ex, Tv[k]), EyT) for k in range(Tv.shape[0])]
+
+
+def _expand_ADTS(tA_ref, tT_ref, tS_ref, cache_meta, i, j, dtype):
+    """(A planes, dinv, T, s) for one tile from the class tables."""
+    clsA, clsT, clsS, diag_idx, TX, TY, Hfx, Hfy, BX, BY = cache_meta
+    A = _expand_tab_ik(tA_ref[...], clsA, i, j, TX, TY, Hfx, Hfy, BX, BY, dtype)
+    diag = A[diag_idx]
+    D = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
+    T = _expand_tab_ik(tT_ref[...], clsT, i, j, TX, TY, Hfx, Hfy, BX, BY, dtype)
+    S = _expand_tab_ik(tS_ref[...], clsS, i, j, TX, TY, Hfx, Hfy, BX, BY, dtype)
+    return A, D, T, S
+
+
 def _sweep(L, B, D, a_planes, color_of, steps, omega, offs, BX, BY):
     for c in steps:
         rsum = None
@@ -539,20 +656,32 @@ def _steps_list(n_colors, iters, fwd, bwd):
     return tuple(steps)
 
 
+def _emeta(cache):
+    if not cache.expand_in_kernel:
+        return None
+    TX, TY = cache.tile
+    Hfx, Hfy = cache.Hf
+    return (
+        cache.clsA, cache.clsT, cache.clsS, cache.diag_idx,
+        TX, TY, Hfx, Hfy, TX + 2 * Hfx, TY + 2 * Hfy,
+    )
+
+
+def _tab_spec(tab):
+    nd = tab.ndim
+    return pl.BlockSpec(tab.shape, lambda i, j: (0,) * nd, memory_space=pltpu.VMEM)
+
+
 # --------------------------------------------------------------------------
 # down: presmooth + residual + restrict
 # --------------------------------------------------------------------------
 
 
 def _down_kernel(
-    x_ref, b_ref, d_ref, a_ref, *rest,
+    x_ref, b_ref, *rest,
     offsA, offsR, color_grid, steps, omega, k, Hfx, Hfy, TX, TY, tiled_out,
-    factored,
+    factored, expand=False, emeta=None,
 ):
-    if factored:
-        t_ref, s_ref, xo_ref, bc_ref = rest
-    else:
-        r_ref, xo_ref, bc_ref = rest
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
     i = pl.program_id(0)
@@ -561,8 +690,19 @@ def _down_kernel(
 
     L = x_ref[0, 0]
     B = b_ref[0, 0]
-    D = d_ref[0, 0]
-    A = a_ref[0, 0].astype(L.dtype)
+    if expand:
+        tA_ref, tT_ref, tS_ref, xo_ref, bc_ref = rest
+        A, D, Tv, Sv = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
+    elif factored:
+        d_ref, a_ref, t_ref, s_ref, xo_ref, bc_ref = rest
+        D = d_ref[0, 0]
+        A = a_ref[0, 0].astype(L.dtype)
+        Tv = t_ref[0, 0].astype(L.dtype)
+        Sv = s_ref[0, 0].astype(L.dtype)
+    else:
+        d_ref, a_ref, r_ref, xo_ref, bc_ref = rest
+        D = d_ref[0, 0]
+        A = a_ref[0, 0].astype(L.dtype)
 
     L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
     if tiled_out:
@@ -577,13 +717,11 @@ def _down_kernel(
     r = B - _stencil_apply(A, L, offsA, BX, BY)
 
     M = 1
-    if factored:
+    if factored or expand:
         # R = Tᵀ(I − A·diag(s)):  b_c = Tᵀ(r − A(s⊙r)); Tᵀ is a box-k sum,
         # so b_c[c] = Σ_{ρ∈[0,k)²} (T⊙s̃)[k·c+ρ] — k² unit-weight subsamples
-        g = s_ref[0, 0].astype(L.dtype) * r
-        ts = t_ref[0, 0].astype(L.dtype) * (
-            r - _stencil_apply(A, g, offsA, BX, BY)
-        )
+        g = Sv * r
+        ts = Tv * (r - _stencil_apply(A, g, offsA, BX, BY))
         subs = _all_residue_subsamples(ts, Hfx, Hfy, k, TXc, TYc, M=M)
         acc = None
         for rx in range(k):
@@ -643,21 +781,28 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
         TY=TY,
         tiled_out=tiled,
         factored=cache.factored,
+        expand=cache.expand_in_kernel,
+        emeta=_emeta(cache),
     )
     tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
     a_spec = pl.BlockSpec(
         (1, 1, len(cache.offsA), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    if cache.factored:
-        extra_specs = [tile_spec, tile_spec]
-        extra_ops = [cache.T_tiled, cache.S_tiled]
+    if cache.expand_in_kernel:
+        extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
+        extra_ops = [cache.tabA, cache.tabT, cache.tabS]
+    elif cache.factored:
+        extra_specs = [tile_spec, a_spec, tile_spec, tile_spec]
+        extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.T_tiled, cache.S_tiled]
     else:
         extra_specs = [
+            tile_spec,
+            a_spec,
             pl.BlockSpec(
                 (1, 1, len(cache.offsR), TXc, TYc), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
-            )
+            ),
         ]
-        extra_ops = [cache.R_tiled]
+        extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.R_tiled]
     xo_spec = (
         tile_spec
         if tiled
@@ -671,7 +816,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
     xo, bc = pl.pallas_call(
         kern,
         grid=(gx, gy),
-        in_specs=[tile_spec, tile_spec, tile_spec, a_spec] + extra_specs,
+        in_specs=[tile_spec, tile_spec] + extra_specs,
         out_specs=(
             xo_spec,
             pl.BlockSpec((TXc, TYc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -684,7 +829,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=cache.interpret,
-    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, *extra_ops)
+    )(Xt, Bt, *extra_ops)
 
     bc = bc[:Wxc, :Wyc].reshape(Wxc * Wyc).astype(x.dtype)
     if tiled:
@@ -702,14 +847,10 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
 
 
 def _up_kernel(
-    x_ref, b_ref, d_ref, a_ref, *rest,
+    x_ref, b_ref, *rest,
     offsA, offsP, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
-    factored,
+    factored, expand=False, emeta=None,
 ):
-    if factored:
-        t_ref, s_ref, xc_ref, xo_ref = rest
-    else:
-        p_ref, xc_ref, xo_ref = rest
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -717,8 +858,19 @@ def _up_kernel(
 
     L = x_ref[0, 0]
     B = b_ref[0, 0]
-    D = d_ref[0, 0]
-    A = a_ref[0, 0].astype(L.dtype)
+    if expand:
+        tA_ref, tT_ref, tS_ref, xc_ref, xo_ref = rest
+        A, D, Tv, Sv = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
+    elif factored:
+        d_ref, a_ref, t_ref, s_ref, xc_ref, xo_ref = rest
+        D = d_ref[0, 0]
+        A = a_ref[0, 0].astype(L.dtype)
+        Tv = t_ref[0, 0].astype(L.dtype)
+        Sv = s_ref[0, 0].astype(L.dtype)
+    else:
+        d_ref, a_ref, p_ref, xc_ref, xo_ref = rest
+        D = d_ref[0, 0]
+        A = a_ref[0, 0].astype(L.dtype)
     XC = xc_ref[0, 0]
 
     # prolong-correct: fine local f reads coarse (f − Hf)//k + δ + Hc.
@@ -726,15 +878,13 @@ def _up_kernel(
     # sublane repeat + transpose (same trick as the stride-k subsample).
     upx = jnp.repeat(XC, k, axis=0)
     up = jnp.repeat(upx.T, k, axis=0).T
-    if factored:
+    if factored or expand:
         # P = (I − diag(s)·A)·T, T single-offset: corr = Tup − s⊙(A·Tup)
         sx = k * Hcx - Hfx
         sy = k * Hcy - Hfy
         src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
-        Tup = t_ref[0, 0].astype(L.dtype) * src
-        corr = Tup - s_ref[0, 0].astype(L.dtype) * _stencil_apply(
-            A, Tup, offsA, BX, BY
-        )
+        Tup = Tv * src
+        corr = Tup - Sv * _stencil_apply(A, Tup, offsA, BX, BY)
     else:
         corr = None
         for kk, (dx, dy) in enumerate(offsP):
@@ -799,6 +949,8 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         TX=TX,
         TY=TY,
         factored=cache.factored,
+        expand=cache.expand_in_kernel,
+        emeta=_emeta(cache),
     )
     tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
     a_spec = pl.BlockSpec(
@@ -807,27 +959,32 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
     c_spec = pl.BlockSpec(
         (1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
-    if cache.factored:
-        extra_specs = [tile_spec, tile_spec]
-        extra_ops = [cache.T_tiled, cache.S_tiled]
+    if cache.expand_in_kernel:
+        extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
+        extra_ops = [cache.tabA, cache.tabT, cache.tabS]
+    elif cache.factored:
+        extra_specs = [tile_spec, a_spec, tile_spec, tile_spec]
+        extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.T_tiled, cache.S_tiled]
     else:
         extra_specs = [
+            tile_spec,
+            a_spec,
             pl.BlockSpec(
                 (1, 1, len(cache.offsP), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
-            )
+            ),
         ]
-        extra_ops = [cache.P_tiled]
+        extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.P_tiled]
     xo = pl.pallas_call(
         kern,
         grid=(gx, gy),
-        in_specs=[tile_spec, tile_spec, tile_spec, a_spec] + extra_specs + [c_spec],
+        in_specs=[tile_spec, tile_spec] + extra_specs + [c_spec],
         out_specs=pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=cache.interpret,
-    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, *extra_ops, XCt)
+    )(Xt, Bt, *extra_ops, XCt)
 
     xo = xo[:Wx, :Wy].reshape(n).astype(out_dtype)
     pad = out_len - n
@@ -864,8 +1021,9 @@ def _xla_tile(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
 
 
 def _updown_kernel(
-    x_ref, b_ref, d_ref, a_ref, t_ref, s_ref, xc_ref, xo_ref, bc_ref,
-    *, offsA, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
+    x_ref, b_ref, *rest,
+    offsA, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
+    expand=False, emeta=None,
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
@@ -875,11 +1033,16 @@ def _updown_kernel(
 
     L = x_ref[0, 0]
     B = b_ref[0, 0]
-    D = d_ref[0, 0]
-    A = a_ref[0, 0].astype(L.dtype)
+    if expand:
+        tA_ref, tT_ref, tS_ref, xc_ref, xo_ref, bc_ref = rest
+        A, D, T, S = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
+    else:
+        d_ref, a_ref, t_ref, s_ref, xc_ref, xo_ref, bc_ref = rest
+        D = d_ref[0, 0]
+        A = a_ref[0, 0].astype(L.dtype)
+        T = t_ref[0, 0].astype(L.dtype)
+        S = s_ref[0, 0].astype(L.dtype)
     XC = xc_ref[0, 0]
-    T = t_ref[0, 0].astype(L.dtype)
-    S = s_ref[0, 0].astype(L.dtype)
 
     # prolong-correct (factored): corr = Tup − s⊙(A·Tup)
     upx = jnp.repeat(XC, k, axis=0)
@@ -953,6 +1116,8 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
         Hcy=Hcy,
         TX=TX,
         TY=TY,
+        expand=cache.expand_in_kernel,
+        emeta=_emeta(cache),
     )
     tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
     a_spec = pl.BlockSpec(
@@ -961,10 +1126,16 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
     c_spec = pl.BlockSpec(
         (1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
+    if cache.expand_in_kernel:
+        extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
+        extra_ops = [cache.tabA, cache.tabT, cache.tabS]
+    else:
+        extra_specs = [tile_spec, a_spec, tile_spec, tile_spec]
+        extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.T_tiled, cache.S_tiled]
     xo, bc = pl.pallas_call(
         kern,
         grid=(gx, gy),
-        in_specs=[tile_spec, tile_spec, tile_spec, a_spec, tile_spec, tile_spec, c_spec],
+        in_specs=[tile_spec, tile_spec] + extra_specs + [c_spec],
         out_specs=(
             pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((TXc, TYc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -977,7 +1148,7 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=cache.interpret,
-    )(Xt, Bt, cache.dinv_tiled, cache.A_tiled, cache.T_tiled, cache.S_tiled, XCt)
+    )(Xt, Bt, *extra_ops, XCt)
 
     xo = xo[:Wx, :Wy].reshape(n).astype(x.dtype)
     pad = x.shape[0] - n

@@ -137,3 +137,28 @@ def test_run_fixed_cycles_matches_iterated():
     assert np.allclose(y0[:n], y1[:n], rtol=1e-11, atol=1e-11), (
         np.abs(y0[:n] - y1[:n]).max()
     )
+
+
+def test_fused_subcycle_matches_unfused():
+    # phased whole-subcycle kernel (mid level in slabs + tail + coarse solve
+    # in ONE pallas_call) vs the per-level device path
+    A, ml = _mk()
+    os.environ["AMG_PALLAS_FUSED"] = "1"
+    os.environ["AMG_PALLAS_TAIL"] = "1"
+    os.environ["AMG_PALLAS_SUB"] = "1"
+    os.environ["AMG_TAIL_MAX_ROWS"] = "600"  # tail = the two smallest levels
+    try:
+        h = build_device_hierarchy(ml, dtype=jnp.float64)
+    finally:
+        for k in ("AMG_PALLAS_FUSED", "AMG_PALLAS_TAIL", "AMG_PALLAS_SUB", "AMG_TAIL_MAX_ROWS"):
+            os.environ.pop(k, None)
+    assert h.tail_start == 2 and h.sub_start == 1, (h.tail_start, h.sub_start)
+    h0 = _hier(ml, tail=False)
+    n = A.shape[0]
+    b = jnp.asarray(np.random.default_rng(5).standard_normal(h.fine_padded))
+    x = jnp.zeros_like(b)
+    y0 = np.asarray(_one_iteration(h0, amg.V(), x, b))
+    y1 = np.asarray(_one_iteration(h, amg.V(), x, b))
+    assert np.allclose(y0[:n], y1[:n], rtol=1e-11, atol=1e-11), (
+        np.abs(y0[:n] - y1[:n]).max()
+    )
