@@ -89,6 +89,8 @@ class FusedLegCache:
     clsS: Any = dataclasses.field(default=None, metadata=dict(static=True))
     diag_idx: int = dataclasses.field(default=-1, metadata=dict(static=True))
     expand_in_kernel: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # working dtype of x/b/outputs — dinv_tiled may be stored narrower
+    wdtype: str = dataclasses.field(default="float32", metadata=dict(static=True))
 
     @property
     def grid(self):
@@ -149,8 +151,11 @@ def _build_tiles_jit(
     pA = planes(TA, cxA, cyA)
     A_tiled = jnp.moveaxis(jax.vmap(tile_f)(pA), 0, 2).astype(ct)
     diag = pA[diag_idx] if diag_idx >= 0 else jnp.zeros(pA.shape[1:], pA.dtype)
-    dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0).astype(dt)
+    # dinv at the coefficient dtype: it is a smoother weight, same accuracy
+    # class as the A planes; x/b stay at the working dtype
+    dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0).astype(ct)
     dinv_tiled = tile_f(dv)
+    del dt
 
     # R has the most offsets of the three operators (Pᵀ of a box-k smoothed
     # prolongator spreads to ~(3k)² geometric offsets) — coefficient-dtype
@@ -364,17 +369,19 @@ def build_fused_leg_cache(
         dummy = jnp.zeros((1, 1), dtype=jnp.dtype(dtype))
         dummy_c = jnp.zeros((1, 1), dtype=jnp.dtype(coef_dtype))
         A_tiled = R_tiled = P_tiled = T_tiled = S_tiled = dummy_c
-        dinv_tiled = dummy  # keeps cache.dinv_tiled.dtype = working dtype
+        dinv_tiled = dummy
     elif host_expand:
         # host fallback: O(n) expand + full-plane upload (exotic dtypes, debug)
         A_tiled = np.zeros((gx, gy, nA, BX, BY), dtype=cnp)
         for kk in range(nA):
             A_tiled[:, :, kk] = _tile_with_halo(specA.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
         diag = specA.diagonal().reshape(Wx, Wy)
-        dv = np.zeros((Wx, Wy), dtype=dtype)
+        dv = np.zeros((Wx, Wy), dtype=cnp)
         nz = diag != 0
         dv[nz] = 1.0 / diag[nz]
-        dinv_tiled = jnp.asarray(_tile_with_halo(dv, gx, gy, TX, TY, Hfx, Hfy))
+        dinv_tiled = jnp.asarray(
+            _tile_with_halo(dv, gx, gy, TX, TY, Hfx, Hfy), dtype=coef_dtype
+        )
         A_tiled = jnp.asarray(A_tiled, dtype=coef_dtype)
         if factored:
             idxT = specT.offsets.index((0, 0))
@@ -472,6 +479,7 @@ def build_fused_leg_cache(
         clsS=clsS,
         diag_idx=diag_idx_f,
         expand_in_kernel=expand_ik,
+        wdtype=jnp.dtype(dtype).name,
     )
 
 
@@ -511,7 +519,7 @@ def _build_tiles_factored_jit(
     pA = planes3(TA, cxA, cyA)
     A_tiled = jnp.moveaxis(jax.vmap(tile_f)(pA), 0, 2).astype(ct)
     diag = pA[diag_idx] if diag_idx >= 0 else jnp.zeros(pA.shape[1:], pA.dtype)
-    dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0).astype(dt)
+    dv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0).astype(ct)
     dinv_tiled = tile_f(dv)
 
     T_tiled = tile_f(plane2(TT, cxT, cyT)).astype(ct)
@@ -695,13 +703,13 @@ def _down_kernel(
         A, D, Tv, Sv = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
     elif factored:
         d_ref, a_ref, t_ref, s_ref, xo_ref, bc_ref = rest
-        D = d_ref[0, 0]
+        D = d_ref[0, 0].astype(L.dtype)
         A = a_ref[0, 0].astype(L.dtype)
         Tv = t_ref[0, 0].astype(L.dtype)
         Sv = s_ref[0, 0].astype(L.dtype)
     else:
         d_ref, a_ref, r_ref, xo_ref, bc_ref = rest
-        D = d_ref[0, 0]
+        D = d_ref[0, 0].astype(L.dtype)
         A = a_ref[0, 0].astype(L.dtype)
 
     L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
@@ -761,7 +769,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
     gx, gy = cache.grid
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
-    dtype = cache.dinv_tiled.dtype
+    dtype = jnp.dtype(cache.wdtype)
     n = Wx * Wy
 
     Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
@@ -863,13 +871,13 @@ def _up_kernel(
         A, D, Tv, Sv = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
     elif factored:
         d_ref, a_ref, t_ref, s_ref, xc_ref, xo_ref = rest
-        D = d_ref[0, 0]
+        D = d_ref[0, 0].astype(L.dtype)
         A = a_ref[0, 0].astype(L.dtype)
         Tv = t_ref[0, 0].astype(L.dtype)
         Sv = s_ref[0, 0].astype(L.dtype)
     else:
         d_ref, a_ref, p_ref, xc_ref, xo_ref = rest
-        D = d_ref[0, 0]
+        D = d_ref[0, 0].astype(L.dtype)
         A = a_ref[0, 0].astype(L.dtype)
     XC = xc_ref[0, 0]
 
@@ -905,7 +913,7 @@ def fused_up(cache: FusedLegCache, x, b, xc):
     TX, TY = cache.tile
     Hfx, Hfy = cache.Hf
     gx, gy = cache.grid
-    dtype = cache.dinv_tiled.dtype
+    dtype = jnp.dtype(cache.wdtype)
     n = Wx * Wy
     Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
     Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
@@ -928,7 +936,7 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
     gx, gy = cache.grid
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
-    dtype = cache.dinv_tiled.dtype
+    dtype = jnp.dtype(cache.wdtype)
     n = Wx * Wy
     nc = Wxc * Wyc
 
@@ -1038,7 +1046,7 @@ def _updown_kernel(
         A, D, T, S = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
     else:
         d_ref, a_ref, t_ref, s_ref, xc_ref, xo_ref, bc_ref = rest
-        D = d_ref[0, 0]
+        D = d_ref[0, 0].astype(L.dtype)
         A = a_ref[0, 0].astype(L.dtype)
         T = t_ref[0, 0].astype(L.dtype)
         S = s_ref[0, 0].astype(L.dtype)
@@ -1091,7 +1099,7 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
     gx, gy = cache.grid
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
-    dtype = cache.dinv_tiled.dtype
+    dtype = jnp.dtype(cache.wdtype)
     n = Wx * Wy
     nc = Wxc * Wyc
 

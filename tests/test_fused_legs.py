@@ -103,8 +103,10 @@ def test_bf16_coefficient_storage_converges():
         h = build_device_hierarchy(ml, dtype=jnp.float32)
         c = h.levels[0].fused
         assert c is not None and c.A_tiled.dtype == jnp.bfloat16
-        assert c.P_tiled.dtype == jnp.bfloat16
-        assert c.dinv_tiled.dtype == jnp.float32  # working dtype untouched
+        # every coefficient-class array (A planes and, on the factored path,
+        # T/s/dinv) stores at the narrow dtype; x/b stay at the working dtype
+        assert c.dinv_tiled.dtype == jnp.bfloat16
+        assert c.wdtype == "float32"
 
         n = N * N
         rng = np.random.default_rng(0)
