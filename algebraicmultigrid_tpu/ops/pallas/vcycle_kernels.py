@@ -193,9 +193,11 @@ def build_fused_leg_cache(
         if not (-k <= dx < 2 * k and -k <= dy < 2 * k):
             return None
 
-    # fine tile: TX/k multiple of 8, TY/k multiple of 128
+    # fine tile: TX/k multiple of 8, TY/k multiple of 128.  Wider TY
+    # amortises the 64-lane-aligned y-halo (the dominant duplication cost);
+    # the VMEM loop below shrinks TX to fit.
     TX = 8 * k * max(1, min(240 // (8 * k), -(-Wx // (8 * k))))
-    TY = 128 * k * max(1, min(384 // (128 * k), -(-Wy // (128 * k))))
+    TY = 128 * k * max(1, min(768 // (128 * k), -(-Wy // (128 * k))))
     # halos: fine (sweep steps + residual + restrict reach), (4/64)-aligned
     reachA = max(max(abs(d) for d, _ in specA.offsets), max(abs(d) for _, d in specA.offsets))
     n_steps = ((n_colors if fwd else 0) + (n_colors if bwd else 0)) * iters
@@ -317,9 +319,10 @@ def build_fused_leg_cache(
         )
         return ops + tmp
 
-    while vmem_need(TX) > 12 * 2**20 and TX > 8 * k:
+    budget = 24 * 2**20
+    while vmem_need(TX) > budget and TX > 8 * k:
         TX -= 8 * k
-    if vmem_need(TX) > 12 * 2**20:
+    if vmem_need(TX) > budget:
         return None
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
@@ -834,7 +837,8 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
             jax.ShapeDtypeStruct((gx * TXc, gy * TYc), dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops)
@@ -989,7 +993,8 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         out_specs=pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops, XCt)
@@ -1153,7 +1158,8 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
             jax.ShapeDtypeStruct((gx * TXc, gy * TYc), dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops, XCt)
