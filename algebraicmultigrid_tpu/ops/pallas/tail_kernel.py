@@ -220,7 +220,7 @@ def build_fused_tail_cache(
     coef_dtype=None,
     interpret: bool = False,
     max_rows: int | None = None,
-    vmem_budget: int = 30 * 2**20,
+    vmem_budget: int | None = None,
 ):
     """Build the whole-tail cache for ``ml.levels[start:]`` + the coarse
     solve, or None if any tail level fails the lattice/box-k/smoother gate
@@ -231,6 +231,8 @@ def build_fused_tail_cache(
 
     if max_rows is None:
         max_rows = int(os.environ.get("AMG_TAIL_MAX_ROWS", 250_000))
+    if vmem_budget is None:
+        vmem_budget = int(os.environ.get("AMG_TAIL_VMEM_MB", 30)) * 2**20
     tail = levels[start:]
     if not tail:
         return None
@@ -576,7 +578,7 @@ def fused_tail(cache: FusedTailCache, x, b):
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((Bx, By), dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(100 * 2**20, max(32 * 2**20, 2 * cache.vmem_bytes))
+            vmem_limit_bytes=min(112 * 2**20, max(32 * 2**20, 2 * cache.vmem_bytes))
         ),
         interpret=cache.interpret,
     )(*ops)
