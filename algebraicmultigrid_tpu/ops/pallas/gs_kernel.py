@@ -123,6 +123,11 @@ def build_pallas_gs_cache(
             TY //= 2
         else:
             break
+    if vmem_need(TX, TY) > 13 * 2**20:
+        # wide stencils (RS coarse operators reach ~30 offsets) cannot fit
+        # the scoped VMEM even at minimum tiles — use the masked-multicolor
+        # fallback instead of emitting a kernel that OOMs at compile time
+        return fallback
     WxT = -(-Wx // TX) * TX
     WyT = -(-Wy // TY) * TY
 

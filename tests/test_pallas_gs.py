@@ -63,3 +63,26 @@ def test_pallas_multi_rhs_falls_back(lat_level):
     B = np.zeros_like(X)
     out = _apply_smoother(L.pre, L.A, jnp.asarray(X), jnp.asarray(B))
     assert out.shape == X.shape
+
+
+def test_wide_stencil_returns_fallback():
+    """Stencils too wide for scoped VMEM even at minimum tiles (RS coarse
+    operators reach ~30 offsets) must yield the masked fallback rather
+    than a kernel that OOMs at Mosaic compile time."""
+    from algebraicmultigrid_tpu.models.lattice import LatticeSpec
+
+    R = 5
+    offsets = tuple((dx, dy) for dx in range(-R, R + 1) for dy in range(-R, R + 1))
+    spec = LatticeSpec(
+        offsets=offsets,
+        table=np.zeros((len(offsets), 3, 3), np.float64),
+        row_dims=(64, 128), col_dims=(64, 128),
+        Kx=1, sx=1, Ky=1, sy=1,
+    )
+    grid_tab = np.zeros((3, 3), np.int32)
+    sentinel = object()
+    out = build_pallas_gs_cache(
+        spec, grid_tab, 25, np.float32, 1.0, 1, True, True,
+        interpret=True, fallback=sentinel,
+    )
+    assert out is sentinel
