@@ -224,13 +224,12 @@ def _smooth_masked_multicolor(cache: MaskedMulticolorCache, A, x, b):
             sel = sel[:, None]
         return jnp.where(sel, upd, x)
 
-    for _ in range(cache.iter):
-        if cache.forward:
-            for c in range(cache.n_colors):
-                x = color_step(c, x)
-        if cache.backward:
-            for c in range(cache.n_colors - 1, -1, -1):
-                x = color_step(c, x)
+    from ..ops.coloring import color_steps
+
+    for c in color_steps(
+        cache.n_colors, cache.iter, cache.forward, cache.backward, cache.omega
+    ):
+        x = color_step(c, x)
     return x
 
 

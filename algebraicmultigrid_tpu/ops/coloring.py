@@ -19,7 +19,35 @@ import scipy.sparse as sp
 
 from .sparse import as_csr
 
-__all__ = ["graph_coloring", "jp_coloring", "greedy_coloring_native"]
+__all__ = [
+    "graph_coloring", "jp_coloring", "greedy_coloring_native", "color_steps",
+]
+
+
+def color_steps(n_colors, iters, fwd, bwd, omega=1.0):
+    """The sequence of color updates for a (possibly symmetric) multicolor
+    GS/SOR sweep, with adjacent duplicates collapsed when ω == 1.
+
+    A symmetric sweep is forward ``[0..n)`` then backward ``[n)..0]`` — the
+    boundary repeats the last color.  At ω == 1 a color update is the exact
+    row solve given fixed neighbours, i.e. a projection: repeating it is the
+    identity (the color's residual is already zero), so the duplicate step
+    is dropped.  At ω ≠ 1 the blended update is not idempotent and the full
+    sequence is kept.  Every multicolor engine (masked XLA, fused Pallas)
+    derives its steps from here so cross-path bitwise tests stay exact."""
+    steps = []
+    for _ in range(iters):
+        if fwd:
+            steps += list(range(n_colors))
+        if bwd:
+            steps += list(range(n_colors - 1, -1, -1))
+    if omega == 1.0:
+        out = []
+        for c in steps:
+            if not out or out[-1] != c:
+                out.append(c)
+        steps = out
+    return tuple(steps)
 
 
 def greedy_coloring_native(A, assume_symmetric: bool = False):

@@ -97,8 +97,9 @@ def build_pallas_gs_cache(
         max((abs(dx) for dx, _ in spec.offsets), default=0),
         max((abs(dy) for _, dy in spec.offsets), default=0),
     )
-    n_steps = (n_colors if fwd else 0) + (n_colors if bwd else 0)
-    n_steps *= iters
+    from ..coloring import color_steps
+
+    n_steps = len(color_steps(n_colors, iters, fwd, bwd, omega))
     H = max(n_steps * reach, 1)
     # halo rounded up so block dims stay (8, 128)-aligned (TPU lowering
     # requires the last two block dims divisible by the f32 tile)
@@ -270,18 +271,17 @@ def smooth_pallas_gs(cache: PallasGSCache, x, b):
     Xt = to_tiles(x)
     Bt = to_tiles(b)
 
-    steps = []
-    for _ in range(cache.iter):
-        if cache.forward:
-            steps += list(range(cache.n_colors))
-        if cache.backward:
-            steps += list(range(cache.n_colors - 1, -1, -1))
+    from ..coloring import color_steps
+
+    steps = color_steps(
+        cache.n_colors, cache.iter, cache.forward, cache.backward, cache.omega
+    )
 
     kernel = functools.partial(
         _sweep_kernel,
         offsets=cache.offsets,
         color_grid=cache.color_grid,
-        steps=tuple(steps),
+        steps=steps,
         omega=cache.omega,
         Hx=Hx,
         Hy=Hy,

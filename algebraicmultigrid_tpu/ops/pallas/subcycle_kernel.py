@@ -271,7 +271,10 @@ def build_fused_subcycle_cache(
         A1=A1, d1=d1, T1=T1, S1=S1, SRyT=SRyT, UPyT=UPyT, tail=tail,
         offsA=sA.offsets,
         color_grid=tuple(tuple(int(c) for c in row) for row in np.asarray(grid)),
-        steps=_steps_list(n_colors, cfg.iter, True, True),
+        steps=_steps_list(
+            n_colors, cfg.iter, True, True,
+            float(cfg.omega) if isinstance(cfg, SOR) else 1.0,
+        ),
         omega=float(cfg.omega) if isinstance(cfg, SOR) else 1.0,
         k=k, dims=dims, cdims=cdims, TX1=TX1, H1=H1, By1=By1, g1=g1, R2=R2,
         interpret=interpret, vmem_bytes=vb,
@@ -279,7 +282,8 @@ def build_fused_subcycle_cache(
 
 
 def _steps_len(n_colors, cfg):
-    return 2 * n_colors * cfg.iter  # symmetric sweep
+    omega = float(getattr(cfg, "omega", 1.0))
+    return len(_steps_list(n_colors, cfg.iter, True, True, omega))
 
 
 # --------------------------------------------------------------------------

@@ -287,7 +287,7 @@ def build_fused_tail_cache(
         cbox = _round_box(*cdims)
 
         omega = float(cfg.omega) if isinstance(cfg, SOR) else 1.0
-        steps = _steps_list(n_colors, cfg.iter, True, True)
+        steps = _steps_list(n_colors, cfg.iter, True, True, omega)
         comp = jnp.float64 if jnp.dtype(dtype).itemsize == 8 else jnp.float32
 
         # factored form when the SA setup stashed a single-offset T + scale

@@ -91,6 +91,21 @@ class FusedLegCache:
     expand_in_kernel: bool = dataclasses.field(default=False, metadata=dict(static=True))
     # working dtype of x/b/outputs — dinv_tiled may be stored narrower
     wdtype: str = dataclasses.field(default="float32", metadata=dict(static=True))
+    # representative-tile compaction: the coefficient planes are expanded
+    # from translation-invariant class tables, so every tile whose halo
+    # block lies inside the periodic interior carries an IDENTICAL block.
+    # Storage keeps one representative interior tile per axis run and the
+    # BlockSpec index map sends all interior tiles to it; Pallas skips the
+    # HBM→VMEM copy when consecutive grid steps map to the same block, so
+    # with the tile axis iterated fastest the coefficient stream shrinks
+    # from O(n_tiles) to O(n_edge_tiles) per leg.  Each field is
+    # ((xlo, xhi) | None, (ylo, yhi) | None) — the inclusive interior run
+    # of tile indices along each axis — or None for identity mapping.
+    cA: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    cT: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    cS: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    cP: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    cR: Any = dataclasses.field(default=None, metadata=dict(static=True))
 
     @property
     def grid(self):
@@ -120,6 +135,77 @@ def _tile_plane(p, gx, gy, TX, TY, Hx, Hy):
         [jax.lax.slice_in_dim(slabs, j * TY, j * TY + BY, axis=2) for j in range(gy)],
         axis=1,
     )
+
+
+def _compact_axis(g, T, H, W, K, s):
+    """Inclusive (lo, hi) run of tile indices whose halo block
+    [i·T − H, (i+1)·T + H) lies inside the periodic class region [K, W−K)
+    with phase alignment (T % s == 0 → all interior tiles share the same
+    class pattern, hence identical expanded blocks).  None when fewer than
+    two tiles qualify (nothing to compact)."""
+    if s < 1 or T % s:
+        return None
+    lo = hi = None
+    for i in range(g):
+        if i * T - H >= K and (i + 1) * T + H <= W - K:
+            if lo is None:
+                lo = i
+            hi = i
+        elif lo is not None:
+            break  # interior run is contiguous by construction
+    if lo is None or hi <= lo:
+        return None
+    return (lo, hi)
+
+
+def _compact_pair(spec, TX, TY, Hx, Hy, gx, gy, Wx=None, Wy=None):
+    """Per-axis compaction runs for an operand with class params on ``spec``
+    (needs .Kx/.sx/.Ky/.sy); W defaults to the spec's row_dims."""
+    if spec is None:
+        return None
+    Wx = spec.row_dims[0] if Wx is None else Wx
+    Wy = spec.row_dims[1] if Wy is None else Wy
+    ax = _compact_axis(gx, TX, Hx, Wx, spec.Kx, spec.sx)
+    ay = _compact_axis(gy, TY, Hy, Wy, spec.Ky, spec.sy)
+    if ax is None and ay is None:
+        return None
+    return (ax, ay)
+
+
+def _axmap(pair):
+    """Tile index → compact storage index along one axis."""
+    if pair is None:
+        return lambda t: t
+    lo, hi = pair
+
+    def f(t):
+        return jnp.where(t < lo, t, jnp.where(t > hi, t - (hi - lo), lo))
+
+    return f
+
+
+def _compact_len(pair, g):
+    if pair is None:
+        return g
+    lo, hi = pair
+    return g - (hi - lo)
+
+
+def _compact_take(arr, c, gx, gy):
+    """Slice a [gx, gy, ...] tiled array down to its compact form (edge
+    tiles + one representative per interior run)."""
+    if c is None:
+        return arr
+    ax, ay = c
+    if ax is not None:
+        lo, hi = ax
+        idx = list(range(lo + 1)) + list(range(hi + 1, gx))
+        arr = arr[np.asarray(idx)]
+    if ay is not None:
+        lo, hi = ay
+        idx = list(range(lo + 1)) + list(range(hi + 1, gy))
+        arr = arr[:, np.asarray(idx)]
+    return arr
 
 
 @functools.partial(
@@ -195,12 +281,19 @@ def build_fused_leg_cache(
 
     # fine tile: TX/k multiple of 8, TY/k multiple of 128.  Wider TY
     # amortises the 64-lane-aligned y-halo (the dominant duplication cost);
-    # the VMEM loop below shrinks TX to fit.
-    TX = 8 * k * max(1, min(240 // (8 * k), -(-Wx // (8 * k))))
-    TY = 128 * k * max(1, min(768 // (128 * k), -(-Wy // (128 * k))))
+    # the VMEM loop below shrinks TX to fit.  AMG_LEG_TILE="tx,ty" overrides
+    # the targets (tests use small tiles to exercise multi-tile grids and
+    # the representative-tile compaction on small problems).
+    tx_t, ty_t = 240, 768
+    _tt = os.environ.get("AMG_LEG_TILE")
+    if _tt:
+        tx_t, ty_t = (int(v) for v in _tt.split(","))
+    TX = 8 * k * max(1, min(tx_t // (8 * k), -(-Wx // (8 * k))))
+    TY = 128 * k * max(1, min(ty_t // (128 * k), -(-Wy // (128 * k))))
     # halos: fine (sweep steps + residual + restrict reach), (4/64)-aligned
     reachA = max(max(abs(d) for d, _ in specA.offsets), max(abs(d) for _, d in specA.offsets))
-    n_steps = ((n_colors if fwd else 0) + (n_colors if bwd else 0)) * iters
+    n_steps = len(_steps_list(n_colors, iters, fwd, bwd, omega))
+    n_steps2 = len(_steps2_list(n_colors, iters, fwd, bwd, omega))
     reachR = max(
         max((abs(d) for d, _ in specR.offsets), default=0),
         max((abs(d) for _, d in specR.offsets), default=0),
@@ -219,7 +312,7 @@ def build_fused_leg_cache(
         n_steps * reachA + reachA + max(reachR, k),  # down: sweeps+res+restrict
         2 * n_steps * reachA,                         # tiled handoff: up sweeps
         n_steps * reachA + 2 * reachA + k,            # factored restriction
-        2 * n_steps * reachA + 2 * reachA + k,        # updown
+        n_steps2 * reachA + 2 * reachA + k,           # updown (deduped pair)
     )
     Hfx = -(-need // 4) * 4
     Hfy = 64 * (-(-need // 64))
@@ -450,6 +543,34 @@ def build_fused_leg_cache(
                 coef_name=jnp.dtype(coef_dtype).name,
             )
 
+    # representative-tile compaction (see FusedLegCache.cA doc): compute the
+    # per-operand interior runs and shrink the stored tiled arrays; the
+    # kernels' index maps send interior tiles to the representative block
+    cA = cT = cS = cP = cR = None
+    if not expand_ik and os.environ.get("AMG_TILE_COMPACT", "") != "0":
+        class _C:
+            def __init__(self, K_x, s_x, K_y, s_y, dims):
+                self.Kx, self.sx, self.Ky, self.sy = K_x, s_x, K_y, s_y
+                self.row_dims = dims
+
+        cA = _compact_pair(specA, TX, TY, Hfx, Hfy, gx, gy)
+        A_tiled = _compact_take(A_tiled, cA, gx, gy)
+        dinv_tiled = _compact_take(dinv_tiled, cA, gx, gy)
+        if factored:
+            cT = _compact_pair(specT, TX, TY, Hfx, Hfy, gx, gy, Wx, Wy)
+            T_tiled = _compact_take(T_tiled, cT, gx, gy)
+            if isinstance(scale_info, tuple) and scale_info[0] == "table":
+                KxS, sxS, KyS, syS = scale_info[2]
+                cS = _compact_pair(
+                    _C(KxS, sxS, KyS, syS, (Wx, Wy)), TX, TY, Hfx, Hfy, gx, gy
+                )
+                S_tiled = _compact_take(S_tiled, cS, gx, gy)
+        else:
+            cP = _compact_pair(specP, TX, TY, Hfx, Hfy, gx, gy, Wx, Wy)
+            P_tiled = _compact_take(P_tiled, cP, gx, gy)
+            cR = _compact_pair(specR, TXc, TYc, 0, 0, gx, gy, Wxc, Wyc)
+            R_tiled = _compact_take(R_tiled, cR, gx, gy)
+
     return FusedLegCache(
         A_tiled=A_tiled,
         dinv_tiled=dinv_tiled,
@@ -483,6 +604,11 @@ def build_fused_leg_cache(
         diag_idx=diag_idx_f,
         expand_in_kernel=expand_ik,
         wdtype=jnp.dtype(dtype).name,
+        cA=cA,
+        cT=cT,
+        cS=cS,
+        cP=cP,
+        cR=cR,
     )
 
 
@@ -657,14 +783,21 @@ def _all_residue_subsamples(r, Hx, Hy, k, TXc, TYc, M=1):
     return subs
 
 
-def _steps_list(n_colors, iters, fwd, bwd):
-    steps = []
-    for _ in range(iters):
-        if fwd:
-            steps += list(range(n_colors))
-        if bwd:
-            steps += list(range(n_colors - 1, -1, -1))
-    return tuple(steps)
+def _steps_list(n_colors, iters, fwd, bwd, omega=1.0):
+    from ..coloring import color_steps
+
+    return color_steps(n_colors, iters, fwd, bwd, omega)
+
+
+def _steps2_list(n_colors, iters, fwd, bwd, omega=1.0):
+    """Steps for the cross-cycle double sweep (postsmooth(i) directly
+    followed by presmooth(i+1)): the concatenation of two sweeps, with the
+    boundary duplicate collapsed at ω == 1 (same idempotence argument as
+    within a symmetric sweep)."""
+    s = _steps_list(n_colors, iters, fwd, bwd, omega)
+    if omega == 1.0 and s and len(s) > 0 and s[0] == s[-1]:
+        return s + s[1:]
+    return s + s
 
 
 def _emeta(cache):
@@ -680,7 +813,23 @@ def _emeta(cache):
 
 def _tab_spec(tab):
     nd = tab.ndim
-    return pl.BlockSpec(tab.shape, lambda i, j: (0,) * nd, memory_space=pltpu.VMEM)
+    return pl.BlockSpec(tab.shape, lambda j, i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _cspec(block_shape, c=None):
+    """BlockSpec for a [gx, gy, ...] tiled operand under the (gy, gx) grid
+    (tile-x innermost so interior runs are consecutive); ``c`` is the
+    compaction descriptor ((xrun, yrun) or None) mapping interior tiles to
+    the stored representative block."""
+    nd = len(block_shape)
+    fx = _axmap(None if c is None else c[0])
+    fy = _axmap(None if c is None else c[1])
+    tail = (0,) * (nd - 2)
+    return pl.BlockSpec(
+        block_shape,
+        lambda j, i: (fx(i), fy(j)) + tail,
+        memory_space=pltpu.VMEM,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -695,8 +844,8 @@ def _down_kernel(
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    i = pl.program_id(1)
+    j = pl.program_id(0)
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
     L = x_ref[0, 0]
@@ -783,7 +932,9 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
         offsA=cache.offsA,
         offsR=cache.offsR,
         color_grid=cache.color_grid,
-        steps=_steps_list(cache.n_colors, cache.iter, cache.forward, cache.backward),
+        steps=_steps_list(
+            cache.n_colors, cache.iter, cache.forward, cache.backward, cache.omega
+        ),
         omega=cache.omega,
         k=k,
         Hfx=Hfx,
@@ -795,30 +946,27 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
         expand=cache.expand_in_kernel,
         emeta=_emeta(cache),
     )
-    tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
-    a_spec = pl.BlockSpec(
-        (1, 1, len(cache.offsA), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
-    )
+    tile_spec = _cspec((1, 1, BX, BY))
+    a_blk = (1, 1, len(cache.offsA), BX, BY)
     if cache.expand_in_kernel:
         extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
         extra_ops = [cache.tabA, cache.tabT, cache.tabS]
     elif cache.factored:
-        extra_specs = [tile_spec, a_spec, tile_spec, tile_spec]
+        extra_specs = [
+            _cspec((1, 1, BX, BY), cache.cA),
+            _cspec(a_blk, cache.cA),
+            _cspec((1, 1, BX, BY), cache.cT),
+            _cspec((1, 1, BX, BY), cache.cS),
+        ]
         extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.T_tiled, cache.S_tiled]
     else:
         extra_specs = [
-            tile_spec,
-            a_spec,
-            pl.BlockSpec(
-                (1, 1, len(cache.offsR), TXc, TYc), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
+            _cspec((1, 1, BX, BY), cache.cA),
+            _cspec(a_blk, cache.cA),
+            _cspec((1, 1, len(cache.offsR), TXc, TYc), cache.cR),
         ]
         extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.R_tiled]
-    xo_spec = (
-        tile_spec
-        if tiled
-        else pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    )
+    xo_spec = tile_spec if tiled else _cspec((TX, TY))
     xo_shape = (
         jax.ShapeDtypeStruct((gx, gy, BX, BY), dtype)
         if tiled
@@ -826,11 +974,11 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
     )
     xo, bc = pl.pallas_call(
         kern,
-        grid=(gx, gy),
+        grid=(gy, gx),
         in_specs=[tile_spec, tile_spec] + extra_specs,
         out_specs=(
             xo_spec,
-            pl.BlockSpec((TXc, TYc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            _cspec((TXc, TYc)),
         ),
         out_shape=(
             xo_shape,
@@ -864,8 +1012,8 @@ def _up_kernel(
     factored, expand=False, emeta=None,
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    i = pl.program_id(1)
+    j = pl.program_id(0)
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
     L = x_ref[0, 0]
@@ -951,7 +1099,9 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         offsA=cache.offsA,
         offsP=cache.offsP,
         color_grid=cache.color_grid,
-        steps=_steps_list(cache.n_colors, cache.iter, cache.forward, cache.backward),
+        steps=_steps_list(
+            cache.n_colors, cache.iter, cache.forward, cache.backward, cache.omega
+        ),
         omega=cache.omega,
         k=k,
         Hfx=Hfx,
@@ -964,33 +1114,32 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         expand=cache.expand_in_kernel,
         emeta=_emeta(cache),
     )
-    tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
-    a_spec = pl.BlockSpec(
-        (1, 1, len(cache.offsA), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    c_spec = pl.BlockSpec(
-        (1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-    )
+    tile_spec = _cspec((1, 1, BX, BY))
+    a_blk = (1, 1, len(cache.offsA), BX, BY)
+    c_spec = _cspec((1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy))
     if cache.expand_in_kernel:
         extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
         extra_ops = [cache.tabA, cache.tabT, cache.tabS]
     elif cache.factored:
-        extra_specs = [tile_spec, a_spec, tile_spec, tile_spec]
+        extra_specs = [
+            _cspec((1, 1, BX, BY), cache.cA),
+            _cspec(a_blk, cache.cA),
+            _cspec((1, 1, BX, BY), cache.cT),
+            _cspec((1, 1, BX, BY), cache.cS),
+        ]
         extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.T_tiled, cache.S_tiled]
     else:
         extra_specs = [
-            tile_spec,
-            a_spec,
-            pl.BlockSpec(
-                (1, 1, len(cache.offsP), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
+            _cspec((1, 1, BX, BY), cache.cA),
+            _cspec(a_blk, cache.cA),
+            _cspec((1, 1, len(cache.offsP), BX, BY), cache.cP),
         ]
         extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.P_tiled]
     xo = pl.pallas_call(
         kern,
-        grid=(gx, gy),
+        grid=(gy, gx),
         in_specs=[tile_spec, tile_spec] + extra_specs + [c_spec],
-        out_specs=pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=_cspec((TX, TY)),
         out_shape=jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -1040,8 +1189,8 @@ def _updown_kernel(
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    i = pl.program_id(1)
+    j = pl.program_id(0)
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
     L = x_ref[0, 0]
@@ -1067,8 +1216,9 @@ def _updown_kernel(
     corr = Tup - S * _stencil_apply(A, Tup, offsA, BX, BY)
     L = L + corr
 
-    # postsmooth(i) then presmooth(i+1): same config (pre == post enforced)
-    L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
+    # postsmooth(i) then presmooth(i+1): same config (pre == post enforced);
+    # ``steps`` is the concatenated double sweep with the boundary duplicate
+    # collapsed at ω == 1 (see _steps2_list)
     L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
     xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
 
@@ -1120,7 +1270,9 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
         _updown_kernel,
         offsA=cache.offsA,
         color_grid=cache.color_grid,
-        steps=_steps_list(cache.n_colors, cache.iter, cache.forward, cache.backward),
+        steps=_steps2_list(
+            cache.n_colors, cache.iter, cache.forward, cache.backward, cache.omega
+        ),
         omega=cache.omega,
         k=k,
         Hfx=Hfx,
@@ -1132,26 +1284,27 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
         expand=cache.expand_in_kernel,
         emeta=_emeta(cache),
     )
-    tile_spec = pl.BlockSpec((1, 1, BX, BY), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
-    a_spec = pl.BlockSpec(
-        (1, 1, len(cache.offsA), BX, BY), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    c_spec = pl.BlockSpec(
-        (1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-    )
+    tile_spec = _cspec((1, 1, BX, BY))
+    a_blk = (1, 1, len(cache.offsA), BX, BY)
+    c_spec = _cspec((1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy))
     if cache.expand_in_kernel:
         extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
         extra_ops = [cache.tabA, cache.tabT, cache.tabS]
     else:
-        extra_specs = [tile_spec, a_spec, tile_spec, tile_spec]
+        extra_specs = [
+            _cspec((1, 1, BX, BY), cache.cA),
+            _cspec(a_blk, cache.cA),
+            _cspec((1, 1, BX, BY), cache.cT),
+            _cspec((1, 1, BX, BY), cache.cS),
+        ]
         extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.T_tiled, cache.S_tiled]
     xo, bc = pl.pallas_call(
         kern,
-        grid=(gx, gy),
+        grid=(gy, gx),
         in_specs=[tile_spec, tile_spec] + extra_specs + [c_spec],
         out_specs=(
-            pl.BlockSpec((TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TXc, TYc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            _cspec((TX, TY)),
+            _cspec((TXc, TYc)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),

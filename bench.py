@@ -122,6 +122,12 @@ def main():
     gnnz = work * n_cycles / dt / 1e9
 
     # ---- section 2: time-to-1e-8 via mixed-precision refinement ----
+    # warm-up call compiles the jitted PCG while_loop (maxiter/abstol are
+    # traced operands, so one compile covers every later call); the timed
+    # run below then measures the actual solve, not XLA.
+    t0 = time.time()
+    solve_refined(ml, b_host, tol=1e-8, dtype=str(dtype), log=True)
+    t_solve_cold = time.time() - t0
     t0 = time.time()
     xr, hist = solve_refined(ml, b_host, tol=1e-8, dtype=str(dtype), log=True)
     t_solve = time.time() - t0
@@ -153,6 +159,7 @@ def main():
                     "sec_per_vcycle": round(dt / n_cycles, 5),
                     "relres_after_cycles": relres_cycles,
                     "solve_to_1e8_seconds": round(t_solve, 3),
+                    "solve_cold_seconds": round(t_solve_cold, 3),
                     "solve_relres": relres,
                     "refine_rounds": len(hist) - 1,
                     "setup_seconds": round(t_setup, 2),
