@@ -302,14 +302,16 @@ def smooth_pallas_gs(cache: PallasGSCache, x, b):
         out_specs=pl.BlockSpec(
             (TX, TY), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((WxT, WyT), dtype),
+        # logical-size output: edge blocks overhang, Mosaic masks the OOB
+        # stores — saves the post-slice pass
+        out_shape=jax.ShapeDtypeStruct((Wx, Wy), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=cache.interpret,
     )(Xt, Bt, cache.dinv_tiled, cache.A_tiled)
 
-    out = out[:Wx, :Wy].reshape(n).astype(x.dtype)
+    out = out.reshape(n).astype(x.dtype)
     padlen = x.shape[0] - n
     if padlen > 0:
         out = jnp.pad(out, (0, padlen))

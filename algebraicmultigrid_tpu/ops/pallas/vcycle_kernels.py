@@ -966,11 +966,13 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
             _cspec((1, 1, len(cache.offsR), TXc, TYc), cache.cR),
         ]
         extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.R_tiled]
+    # outputs at logical size: edge blocks overhang and Mosaic masks the
+    # out-of-bounds stores — no post-slice pass over the result
     xo_spec = tile_spec if tiled else _cspec((TX, TY))
     xo_shape = (
         jax.ShapeDtypeStruct((gx, gy, BX, BY), dtype)
         if tiled
-        else jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype)
+        else jax.ShapeDtypeStruct((Wx, Wy), dtype)
     )
     xo, bc = pl.pallas_call(
         kern,
@@ -982,7 +984,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
         ),
         out_shape=(
             xo_shape,
-            jax.ShapeDtypeStruct((gx * TXc, gy * TYc), dtype),
+            jax.ShapeDtypeStruct((Wxc, Wyc), dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -991,10 +993,10 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops)
 
-    bc = bc[:Wxc, :Wyc].reshape(Wxc * Wyc).astype(x.dtype)
+    bc = bc.reshape(Wxc * Wyc).astype(x.dtype)
     if tiled:
         return xo, bc, Bt
-    xo = xo[:Wx, :Wy].reshape(n).astype(x.dtype)
+    xo = xo.reshape(n).astype(x.dtype)
     pad = x.shape[0] - n
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
@@ -1140,7 +1142,7 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         grid=(gy, gx),
         in_specs=[tile_spec, tile_spec] + extra_specs + [c_spec],
         out_specs=_cspec((TX, TY)),
-        out_shape=jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
+        out_shape=jax.ShapeDtypeStruct((Wx, Wy), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 2**20,
@@ -1148,7 +1150,7 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops, XCt)
 
-    xo = xo[:Wx, :Wy].reshape(n).astype(out_dtype)
+    xo = xo.reshape(n).astype(out_dtype)
     pad = out_len - n
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
@@ -1307,8 +1309,8 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
             _cspec((TXc, TYc)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((gx * TX, gy * TY), dtype),
-            jax.ShapeDtypeStruct((gx * TXc, gy * TYc), dtype),
+            jax.ShapeDtypeStruct((Wx, Wy), dtype),
+            jax.ShapeDtypeStruct((Wxc, Wyc), dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -1317,9 +1319,9 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops, XCt)
 
-    xo = xo[:Wx, :Wy].reshape(n).astype(x.dtype)
+    xo = xo.reshape(n).astype(x.dtype)
     pad = x.shape[0] - n
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
-    bc = bc[:Wxc, :Wyc].reshape(Wxc * Wyc).astype(x.dtype)
+    bc = bc.reshape(Wxc * Wyc).astype(x.dtype)
     return xo, bc

@@ -63,7 +63,12 @@ def main():
 
     N = int(os.environ.get("AMG_BENCH_N", 4096))
     dtype = jnp.dtype(os.environ.get("AMG_BENCH_DTYPE", "float32"))
-    n_cycles = int(os.environ.get("AMG_BENCH_CYCLES", 20))
+    # 100 cycles per timed call: the axon tunnel adds ~28 ms of fixed
+    # dispatch+readback latency per executable call (measured: an empty jit
+    # round-trips in 28 ms); at 20 cycles that inflates the per-cycle time
+    # by ~1.4 ms.  Amortising over 100 cycles measures the device, not the
+    # tunnel (profiler-verified: device-busy time matches).
+    n_cycles = int(os.environ.get("AMG_BENCH_CYCLES", 100))
     method = os.environ.get("AMG_BENCH_METHOD", "sa")
 
     t0 = time.time()
