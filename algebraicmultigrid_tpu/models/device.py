@@ -730,30 +730,12 @@ def build_device_hierarchy(
     final_pad = round_up(max(ml.final_A.shape[0], 1), row_pad)
     pad_of_level.append(final_pad)
 
-    out = []
-    for i, (level, A_dev) in enumerate(dev_levels):
-        # P maps coarse → this level's rows; R maps this level → coarse rows.
-        P_dev = lower(level.P, pad_of_level[i])
-        R_dev = lower(level.R, pad_of_level[i + 1])
-        sym_hint = type(ml.symmetry).__name__ == "HermitianSymmetry"
-        fused = _maybe_build_fused_legs(level, dtype)
-        if fused is not None:
-            # the cycle runs the fused legs; pre/post only serve the
-            # multi-RHS fallback — build the cheap masked caches, not the
-            # (heavyweight, pre-tiled) Pallas smoother caches
-            os.environ["_AMG_SKIP_PALLAS_GS"] = "1"
-        try:
-            pre = _build_smoother_cache(level.presmoother_config, level.A, A_dev, dtype, sym=sym_hint)
-            post = _build_smoother_cache(level.postsmoother_config, level.A, A_dev, dtype, sym=sym_hint)
-        finally:
-            os.environ.pop("_AMG_SKIP_PALLAS_GS", None)
-        out.append(DeviceLevel(A=A_dev, P=P_dev, R=R_dev, pre=pre, post=post, fused=fused))
-
-    coarse = _build_coarse_cache(ml, dtype, final_pad)
-    final_dev = lower(as_csr_cached(ml.final_A), row_pad)
-
     # whole-coarse-tail kernel: longest trailing run of small fused-capable
-    # levels collapses to ONE pallas_call per cycle (V-cycles only)
+    # levels collapses to ONE pallas_call per cycle (V-cycles only).  Built
+    # BEFORE the per-level loop so covered levels skip their (expensive —
+    # one device-expansion compile each) fused-leg and Pallas-smoother
+    # caches; V-cycles never touch them, and W/F cycles fall back to the
+    # masked multicolor path on those (small) levels.
     tail, tail_start = None, -1
     flag = os.environ.get("AMG_PALLAS_TAIL", "")
     on_tpu = jax.default_backend() == "tpu"
@@ -767,6 +749,32 @@ def build_device_hierarchy(
             if tail is not None:
                 tail_start = start
                 break
+
+    out = []
+    for i, (level, A_dev) in enumerate(dev_levels):
+        # P maps coarse → this level's rows; R maps this level → coarse rows.
+        P_dev = lower(level.P, pad_of_level[i])
+        R_dev = lower(level.R, pad_of_level[i + 1])
+        sym_hint = type(ml.symmetry).__name__ == "HermitianSymmetry"
+        covered = tail is not None and i >= tail_start
+        # the sub-kernel (AMG_PALLAS_SUB) needs the level just above the
+        # tail to keep its fused legs
+        fused = None if covered else _maybe_build_fused_legs(level, dtype)
+        if fused is not None or covered:
+            # the cycle runs the fused legs / whole-tail kernel; pre/post
+            # only serve the multi-RHS and W/F fallbacks — build the cheap
+            # masked caches, not the (heavyweight, pre-tiled) Pallas
+            # smoother caches
+            os.environ["_AMG_SKIP_PALLAS_GS"] = "1"
+        try:
+            pre = _build_smoother_cache(level.presmoother_config, level.A, A_dev, dtype, sym=sym_hint)
+            post = _build_smoother_cache(level.postsmoother_config, level.A, A_dev, dtype, sym=sym_hint)
+        finally:
+            os.environ.pop("_AMG_SKIP_PALLAS_GS", None)
+        out.append(DeviceLevel(A=A_dev, P=P_dev, R=R_dev, pre=pre, post=post, fused=fused))
+
+    coarse = _build_coarse_cache(ml, dtype, final_pad)
+    final_dev = lower(as_csr_cached(ml.final_A), row_pad)
 
     # phased whole-subcycle kernel: one call for [sub_start, end] — covers
     # the level just above the tail when it qualifies (bigger than the tail
