@@ -5,3 +5,9 @@ from .dist import (
     solve_sharded,
 )
 from .halo import lat2d_spmv_halo, shard_slab
+from .lattice_cycle import (
+    build_slab_hierarchy,
+    cycle_lattice_sharded,
+    matvec_lattice_sharded,
+    solve_lattice_sharded,
+)

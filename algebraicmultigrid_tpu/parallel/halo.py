@@ -12,9 +12,10 @@ TPU-native form (survey §2.13, §5.7): a ``shard_map`` kernel that
 
 The collective moves ``2·reach·Wy`` elements per shard per apply —
 O(surface) — versus the O(volume) all-gather XLA falls back to when it can't
-prove the gather pattern.  Used by ``solve_sharded`` for fine Lat2D levels;
-also the template for the planned Pallas ``make_async_remote_copy``
-compute-overlapped variant.
+prove the gather pattern.  Exposed as a standalone op (validated in
+``tests/test_multichip.py`` on the virtual mesh) and used by the sharded
+lattice cycle; also the template for the planned Pallas
+``make_async_remote_copy`` compute-overlapped variant.
 """
 
 from __future__ import annotations

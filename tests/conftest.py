@@ -20,6 +20,13 @@ import jax  # noqa: E402
 # is what actually lands the test suite on the virtual-device CPU backend.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: repeated suite runs on this 1-CPU host skip
+# the multi-minute XLA compiles of the jitted cycle/PCG programs
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/amg_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
