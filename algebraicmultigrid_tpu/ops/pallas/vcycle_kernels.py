@@ -284,7 +284,10 @@ def build_fused_leg_cache(
     # the VMEM loop below shrinks TX to fit.  AMG_LEG_TILE="tx,ty" overrides
     # the targets (tests use small tiles to exercise multi-tile grids and
     # the representative-tile compaction on small problems).
-    tx_t, ty_t = 240, 768
+    # measured on TPU v5e at 4096² (AMG_LEG_TILE sweep): (240, 1536) beats
+    # (240, 768) 153.6 vs 150.0 Gnnz/s — the y-halo is lane-alignment-fixed
+    # at 64 per side, so a wider tile halves its share of the VPU work
+    tx_t, ty_t = 240, 1536
     _tt = os.environ.get("AMG_LEG_TILE")
     if _tt:
         tx_t, ty_t = (int(v) for v in _tt.split(","))

@@ -135,33 +135,44 @@ def build_slab_hierarchy(
 
     dt = jnp.dtype(dtype)
     meta = []
-    for level in ml.levels:
-        if not isinstance(level.A, LatticeMatrix):
-            raise ValueError("build_slab_hierarchy needs lattice levels")
-        spec = level.A.spec
-        T_t = getattr(level, "T_tent", None)
-        if not isinstance(T_t, LatticeMatrix):
-            raise ValueError("level lacks the factored-prolongator stash")
-        specT = T_t.spec
-        base = specT.base_x
-        if base != specT.base_y or base[0] != 1 or base[1] not in (2, 3):
-            raise ValueError(f"unsupported transfer base {base}")
-        k = base[1]
-        got = lattice_coloring(spec)
-        if got is None:
-            raise ValueError("level not colorable by a periodic table")
-        tab, n_colors = got
-        cfg = level.presmoother_config
-        if cfg != level.postsmoother_config or not (
-            isinstance(cfg, (GaussSeidel, SOR))
-            and isinstance(cfg.sweep, SymmetricSweep)
-        ):
-            raise ValueError("slab cycle needs symmetric GS/SOR pre==post")
-        omega = float(cfg.omega) if isinstance(cfg, SOR) else 1.0
-        steps = color_steps(n_colors, cfg.iter, True, True, omega)
-        S_pl = _scale_plane(level, spec)
-        if S_pl is None:
-            raise ValueError("level lacks the prolongator-smoothing scale")
+    truncated_at = None  # level index folded into the dense coarse solve
+    max_dense = 16384
+    for li, level in enumerate(ml.levels):
+        try:
+            if not isinstance(level.A, LatticeMatrix):
+                raise ValueError("build_slab_hierarchy needs lattice levels")
+            spec = level.A.spec
+            T_t = getattr(level, "T_tent", None)
+            if not isinstance(T_t, LatticeMatrix):
+                raise ValueError("level lacks the factored-prolongator stash")
+            specT = T_t.spec
+            base = specT.base_x
+            if base != specT.base_y or base[0] != 1 or base[1] not in (2, 3):
+                raise ValueError(f"unsupported transfer base {base}")
+            k = base[1]
+            got = lattice_coloring(spec)
+            if got is None:
+                raise ValueError("level not colorable by a periodic table")
+            tab, n_colors = got
+            cfg = level.presmoother_config
+            if cfg != level.postsmoother_config or not (
+                isinstance(cfg, (GaussSeidel, SOR))
+                and isinstance(cfg.sweep, SymmetricSweep)
+            ):
+                raise ValueError("slab cycle needs symmetric GS/SOR pre==post")
+            omega = float(cfg.omega) if isinstance(cfg, SOR) else 1.0
+            steps = color_steps(n_colors, cfg.iter, True, True, omega)
+            S_pl = _scale_plane(level, spec)
+            if S_pl is None:
+                raise ValueError("level lacks the prolongator-smoothing scale")
+        except ValueError:
+            # agglomerate early: a small non-lattice (or unfactorable) level
+            # becomes the replicated dense coarse solve; bigger ones are a
+            # hard error (a dense solve there would dominate)
+            if meta and level.A.shape[0] <= max_dense:
+                truncated_at = li
+                break
+            raise
         reach = max(
             max((abs(d) for d, _ in spec.offsets), default=1),
             max((abs(d) for _, d in spec.offsets), default=1),
@@ -253,12 +264,15 @@ def build_slab_hierarchy(
 
     import scipy.sparse as sp
 
-    Af = ml.final_A
+    if truncated_at is None:
+        Af = ml.final_A
+    else:
+        Af = ml.levels[truncated_at].A.tocsr()
     Af = Af.toarray() if sp.issparse(Af) else np.asarray(Af)
     pinv = jnp.asarray(np.linalg.pinv(Af), dtype=dt)
     kL = meta[-1]["k"]
     WxL, WyL = meta[-1]["pdims"]
-    # true coarsest dims from the last T spec's column grid
+    # true coarsest dims from the last kept T spec's column grid
     ctrue = tuple(int(v) for v in meta[-1]["specT"].col_dims)
     cpad = (pad(WxL, kL) // kL, pad(WyL, kL) // kL)
     return SlabHierarchy(
