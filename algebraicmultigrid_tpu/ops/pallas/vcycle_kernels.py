@@ -91,6 +91,12 @@ class FusedLegCache:
     expand_in_kernel: bool = dataclasses.field(default=False, metadata=dict(static=True))
     # working dtype of x/b/outputs — dinv_tiled may be stored narrower
     wdtype: str = dataclasses.field(default="float32", metadata=dict(static=True))
+    # in-kernel compute dtype for the sweeps/stencils (AMG_SWEEP_DTYPE):
+    # bfloat16 runs the VPU ~1.8× faster (measured) and halves VMEM traffic;
+    # the cycle is a preconditioner, so the ~3-digit arithmetic shows up
+    # only as a (measured, small) iteration-count effect — outputs are cast
+    # back to wdtype.  Default: compute at wdtype.
+    sweep_dtype: str = dataclasses.field(default="", metadata=dict(static=True))
     # representative-tile compaction: the coefficient planes are expanded
     # from translation-invariant class tables, so every tile whose halo
     # block lies inside the periodic interior carries an IDENTICAL block.
@@ -607,6 +613,7 @@ def build_fused_leg_cache(
         diag_idx=diag_idx_f,
         expand_in_kernel=expand_ik,
         wdtype=jnp.dtype(dtype).name,
+        sweep_dtype=os.environ.get("AMG_SWEEP_DTYPE", ""),
         cA=cA,
         cT=cT,
         cS=cS,
@@ -678,15 +685,28 @@ def _color_of(i, j, TX, TY, Hx, Hy, BX, BY, color_grid):
     return out
 
 
+def _roll(src, a, axis, B):
+    """jnp.roll on a VMEM block: tpu.dynamic_rotate for 32-bit dtypes;
+    narrow dtypes (bf16 sweeps) use the slice+concat decomposition —
+    Mosaic has no sub-32-bit lane rotate."""
+    if a == 0:
+        return src
+    if src.dtype.itemsize >= 4:
+        return pltpu.roll(src, a, axis=axis)
+    if axis == 0:
+        return jnp.concatenate([src[B - a :, :], src[: B - a, :]], axis=0)
+    return jnp.concatenate([src[:, B - a :], src[:, : B - a]], axis=1)
+
+
 def _stencil_apply(A, X, offs, BX, BY):
     """Σₖ A_k ⊙ roll(X, offs_k) — the Lat2D SpMV on a VMEM block."""
     acc = None
     for kk, (dx, dy) in enumerate(offs):
         src = X
         if dx:
-            src = pltpu.roll(src, (-dx) % BX, axis=0)
+            src = _roll(src, (-dx) % BX, 0, BX)
         if dy:
-            src = pltpu.roll(src, (-dy) % BY, axis=1)
+            src = _roll(src, (-dy) % BY, 1, BY)
         term = A[kk] * src
         acc = term if acc is None else acc + term
     return acc
@@ -739,15 +759,28 @@ def _expand_ADTS(tA_ref, tT_ref, tS_ref, cache_meta, i, j, dtype):
     return A, D, T, S
 
 
+def _sweep_c(L, B, D, A, col, steps, omega, offs, BX, BY, dt):
+    """_sweep at the compute dtype ``dt`` (bf16 sweeps run the VPU ~1.8×
+    faster, measured); residual/restriction stay at the working dtype."""
+    if not dt or jnp.dtype(dt) == L.dtype:
+        return _sweep(L, B, D, A, col, steps, omega, offs, BX, BY)
+    d = jnp.dtype(dt)
+    out = _sweep(
+        L.astype(d), B.astype(d), D.astype(d), A.astype(d),
+        col, steps, omega, offs, BX, BY,
+    )
+    return out.astype(L.dtype)
+
+
 def _sweep(L, B, D, a_planes, color_of, steps, omega, offs, BX, BY):
     for c in steps:
         rsum = None
         for kk, (dx, dy) in enumerate(offs):
             src = L
             if dx:
-                src = pltpu.roll(src, (-dx) % BX, axis=0)
+                src = _roll(src, (-dx) % BX, 0, BX)
             if dy:
-                src = pltpu.roll(src, (-dy) % BY, axis=1)
+                src = _roll(src, (-dy) % BY, 1, BY)
             term = a_planes[kk] * src
             rsum = term if rsum is None else rsum + term
         L = jnp.where(color_of == c, L + omega * D * (B - rsum), L)
@@ -843,7 +876,7 @@ def _cspec(block_shape, c=None):
 def _down_kernel(
     x_ref, b_ref, *rest,
     offsA, offsR, color_grid, steps, omega, k, Hfx, Hfy, TX, TY, tiled_out,
-    factored, expand=False, emeta=None,
+    factored, expand=False, emeta=None, cdt="",
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
@@ -851,6 +884,7 @@ def _down_kernel(
     j = pl.program_id(0)
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
+    wdt = x_ref.dtype
     L = x_ref[0, 0]
     B = b_ref[0, 0]
     if expand:
@@ -867,14 +901,14 @@ def _down_kernel(
         D = d_ref[0, 0].astype(L.dtype)
         A = a_ref[0, 0].astype(L.dtype)
 
-    L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
+    L = _sweep_c(L, B, D, A, col, steps, omega, offsA, BX, BY, cdt)
     if tiled_out:
         # hand the whole halo block to the up leg (the outer
         # n_steps·reachA halo layers are stale, but the builder sized Hf so
         # the remaining valid band covers the up leg's sweeps)
-        xo_ref[0, 0] = L
+        xo_ref[0, 0] = L.astype(wdt)
     else:
-        xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
+        xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(wdt)
 
     # residual on the (still-valid) halo region
     r = B - _stencil_apply(A, L, offsA, BX, BY)
@@ -891,7 +925,7 @@ def _down_kernel(
             for ry in range(k):
                 sub = jax.lax.slice(subs[rx][ry], (M, M), (M + TXc, M + TYc))
                 acc = sub if acc is None else acc + sub
-        bc_ref[:] = acc
+        bc_ref[:] = acc.astype(bc_ref.dtype)
         return
 
     # restriction: coarse local cl reads fine local k·cl + (δ + Hf).
@@ -907,7 +941,7 @@ def _down_kernel(
         )
         term = r_ref[0, 0, kk].astype(sub.dtype) * sub
         acc = term if acc is None else acc + term
-    bc_ref[:] = acc
+    bc_ref[:] = acc.astype(bc_ref.dtype)
 
 
 def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
@@ -948,6 +982,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
         factored=cache.factored,
         expand=cache.expand_in_kernel,
         emeta=_emeta(cache),
+        cdt=cache.sweep_dtype,
     )
     tile_spec = _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
@@ -1014,13 +1049,14 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
 def _up_kernel(
     x_ref, b_ref, *rest,
     offsA, offsP, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
-    factored, expand=False, emeta=None,
+    factored, expand=False, emeta=None, cdt="",
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     i = pl.program_id(1)
     j = pl.program_id(0)
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
+    wdt = x_ref.dtype
     L = x_ref[0, 0]
     B = b_ref[0, 0]
     if expand:
@@ -1060,8 +1096,8 @@ def _up_kernel(
             corr = term if corr is None else corr + term
     L = L + corr
 
-    L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
-    xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
+    L = _sweep_c(L, B, D, A, col, steps, omega, offsA, BX, BY, cdt)
+    xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(xo_ref.dtype)
 
 
 def fused_up(cache: FusedLegCache, x, b, xc):
@@ -1118,6 +1154,7 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         factored=cache.factored,
         expand=cache.expand_in_kernel,
         emeta=_emeta(cache),
+        cdt=cache.sweep_dtype,
     )
     tile_spec = _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
@@ -1190,7 +1227,7 @@ def _xla_tile(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
 def _updown_kernel(
     x_ref, b_ref, *rest,
     offsA, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
-    expand=False, emeta=None,
+    expand=False, emeta=None, cdt="",
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
@@ -1198,6 +1235,7 @@ def _updown_kernel(
     j = pl.program_id(0)
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
+    wdt = x_ref.dtype
     L = x_ref[0, 0]
     B = b_ref[0, 0]
     if expand:
@@ -1224,8 +1262,8 @@ def _updown_kernel(
     # postsmooth(i) then presmooth(i+1): same config (pre == post enforced);
     # ``steps`` is the concatenated double sweep with the boundary duplicate
     # collapsed at ω == 1 (see _steps2_list)
-    L = _sweep(L, B, D, A, col, steps, omega, offsA, BX, BY)
-    xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY]
+    L = _sweep_c(L, B, D, A, col, steps, omega, offsA, BX, BY, cdt)
+    xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(xo_ref.dtype)
 
     r = B - _stencil_apply(A, L, offsA, BX, BY)
 
@@ -1239,7 +1277,7 @@ def _updown_kernel(
         for ry in range(k):
             sub = jax.lax.slice(subs[rx][ry], (M, M), (M + TXc, M + TYc))
             acc = sub if acc is None else acc + sub
-    bc_ref[:] = acc
+    bc_ref[:] = acc.astype(bc_ref.dtype)
 
 
 def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
@@ -1288,6 +1326,7 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
         TY=TY,
         expand=cache.expand_in_kernel,
         emeta=_emeta(cache),
+        cdt=cache.sweep_dtype,
     )
     tile_spec = _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
