@@ -60,7 +60,26 @@ class Pinv(CoarseSolver):
 
 
 class QRSolver(CoarseSolver):
+    # Above this size a dense O(n³) QR is pathological; the reference's
+    # ``qr(A::SparseMatrixCSC)`` is SuiteSparse's SPARSE QR, so a large
+    # coarse grid (degenerate hierarchies, e.g. all-isolated strength
+    # graphs, test_regression.jl #56) is cheap there.  scipy has no sparse
+    # QR — use sparse LU for large sparse inputs, falling back to the dense
+    # rank-revealing path only if the LU reports singularity.
+    _sparse_threshold = 512
+
     def __init__(self, A):
+        if sp.issparse(A) and A.shape[0] > self._sparse_threshold:
+            import scipy.sparse.linalg as spla
+
+            try:
+                self._splu = spla.splu(sp.csc_matrix(A))
+                self.Q = self.R = self.pinvA = None
+                self._singular = False
+                return
+            except RuntimeError:
+                pass  # singular → dense rank-revealing fallback below
+        self._splu = None
         M = _dense(A)
         self.Q, self.R = np.linalg.qr(M)
         rdiag = np.abs(np.diag(self.R)) if self.R.size else np.zeros(0)
@@ -74,6 +93,14 @@ class QRSolver(CoarseSolver):
         self.pinvA = np.linalg.pinv(M) if self._singular else None
 
     def apply(self, b):
+        if self._splu is not None:
+            b = np.asarray(b)
+            if b.ndim == 1:
+                return self._splu.solve(b)
+            return np.stack(
+                [np.asarray(self._splu.solve(b[:, j])) for j in range(b.shape[1])],
+                axis=1,
+            )
         if self._singular:
             return self.pinvA @ b
         y = self.Q.conj().T @ b

@@ -654,7 +654,7 @@ def _build_coarse_cache(ml: MultiLevel, dtype, rows_padded: int) -> CoarseCache:
     cs = ml.coarse_solver
     n = ml.final_A.shape[0]
     zero = jnp.zeros((0, 0), dtype=dtype)
-    if isinstance(cs, QRSolver) and not cs._singular:
+    if isinstance(cs, QRSolver) and not cs._singular and cs.Q is not None:
         return CoarseCache(
             mat=zero,
             qr_q=jnp.asarray(cs.Q.astype(dtype)),
