@@ -861,10 +861,11 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
 
     if level.fused is not None and x.ndim == 1:
         # fused Pallas legs: (presmooth + residual + restrict) down, then
-        # (prolong-correct + postsmooth) up — one kernel each.  x hands off
-        # down→up in tiled halo-block form and the tiled rhs is reused, so
-        # the per-level glue is one tile of x, one of b, and one untile.
-        from ..ops.pallas.vcycle_kernels import fused_down, fused_up_t
+        # (prolong-correct + postsmooth) up — one kernel each.  DMA caches
+        # hand x down→up as the flat plane (the up leg re-reads fresh halos
+        # by in-kernel DMA) and reuse the padded rhs plane; BlockSpec caches
+        # hand off in tiled halo-block form with the tiled rhs reused.
+        from ..ops.pallas.vcycle_kernels import fused_down, fused_up, fused_up_t
 
         with jax.named_scope(f"L{lvl}/down"):
             xt, coarse_b, bt = fused_down(level.fused, x, b, tiled=True)
@@ -876,7 +877,10 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
             coarse_x = jnp.zeros_like(coarse_b)
             coarse_x = _next(h, cycle, coarse_x, coarse_b, lvl + 1)
         with jax.named_scope(f"L{lvl}/up"):
-            x = fused_up_t(level.fused, xt, bt, coarse_x, x.dtype, x.shape[0])
+            if getattr(level.fused, "dma", False):
+                x = fused_up(level.fused, xt, bt, coarse_x)
+            else:
+                x = fused_up_t(level.fused, xt, bt, coarse_x, x.dtype, x.shape[0])
         return x
 
     with jax.named_scope(f"L{lvl}/presmooth"):
@@ -948,6 +952,7 @@ def run_fixed_cycles(h: DeviceHierarchy, x, b, n_cycles: int):
         )
 
     from ..ops.pallas.vcycle_kernels import (
+        _pad_plane,
         _xla_tile,
         fused_down,
         fused_up,
@@ -957,16 +962,26 @@ def run_fixed_cycles(h: DeviceHierarchy, x, b, n_cycles: int):
     n_next = (
         h.levels[1].A.rows_padded if len(h.levels) > 1 else h.coarse.rows_padded
     )
-    with jax.named_scope("L0/down"):
-        xf, bc = fused_down(fused, x, b)
-    bc = fit_len(bc, n_next)
     Wx, Wy = fused.row_dims
     TX, TY = fused.tile
     Hfx, Hfy = fused.Hf
     gx, gy = fused.grid
-    bt = _xla_tile(
-        b, Wx * Wy, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, fused.dinv_tiled.dtype
-    )
+    if getattr(fused, "dma", False):
+        # padded rhs plane built once, reused by every down/updown/up
+        bt = _pad_plane(
+            b, Wx * Wy, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, jnp.dtype(fused.wdtype)
+        )
+        with jax.named_scope("L0/down"):
+            xf, bc = fused_down(fused, x, b, bpad=bt)
+        b_up = bt
+    else:
+        with jax.named_scope("L0/down"):
+            xf, bc = fused_down(fused, x, b)
+        bt = _xla_tile(
+            b, Wx * Wy, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, fused.dinv_tiled.dtype
+        )
+        b_up = b
+    bc = fit_len(bc, n_next)
 
     def body(i, carry):
         xf, bc = carry
@@ -978,7 +993,7 @@ def run_fixed_cycles(h: DeviceHierarchy, x, b, n_cycles: int):
     xf, bc = jax.lax.fori_loop(0, n_cycles - 1, body, (xf, bc))
     xc = _subsolve(h, bc, 1)
     with jax.named_scope("L0/up"):
-        return fused_up(fused, xf, b, xc)
+        return fused_up(fused, xf, b_up, xc)
 
 
 def device_cycle_fn(ml: MultiLevel, cycle: Cycle = V(), dtype=None):

@@ -578,7 +578,11 @@ def fused_tail(cache: FusedTailCache, x, b):
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((Bx, By), dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(112 * 2**20, max(32 * 2**20, 2 * cache.vmem_bytes))
+            # Mosaic's stack need includes relayout temporaries that depend
+            # on the operand layouts XLA picks (observed 2.15× the operand
+            # estimate at 4096² once upstream producers changed) — grant 3×
+            # plus a floor so scheduling shifts can't trip the scoped limit
+            vmem_limit_bytes=min(112 * 2**20, max(48 * 2**20, 3 * cache.vmem_bytes))
         ),
         interpret=cache.interpret,
     )(*ops)

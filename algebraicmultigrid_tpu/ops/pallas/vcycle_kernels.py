@@ -112,6 +112,16 @@ class FusedLegCache:
     cS: Any = dataclasses.field(default=None, metadata=dict(static=True))
     cP: Any = dataclasses.field(default=None, metadata=dict(static=True))
     cR: Any = dataclasses.field(default=None, metadata=dict(static=True))
+    # DMA-windowed x/b/xc: instead of materialising [gx, gy, BX, BY]
+    # halo-duplicated tile stacks in HBM (`_xla_tile` — an extra full
+    # read+write pass over x per leg, and a slice-stack XLA lowers poorly),
+    # the vectors stay as flat padded planes in ANY memory and each grid
+    # step DMAs its (BX, BY) window into a double-buffered VMEM scratch
+    # (prefetching the next step's window during compute).  The up leg then
+    # reads FRESH neighbour halos from the down leg's flat output — bitwise
+    # identical to the tiled stale-band handoff (the halo over-compute
+    # produces exactly the neighbour's interior values).
+    dma: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def grid(self):
@@ -421,7 +431,7 @@ def build_fused_leg_cache(
         )
         return ops + tmp
 
-    budget = 24 * 2**20
+    budget = int(os.environ.get("AMG_LEG_VMEM_MB", 24)) * 2**20
     while vmem_need(TX) > budget and TX > 8 * k:
         TX -= 8 * k
     if vmem_need(TX) > budget:
@@ -619,6 +629,10 @@ def build_fused_leg_cache(
         cS=cS,
         cP=cP,
         cR=cR,
+        # DMA-windowed x/b/xc (default on): measured win — removes the
+        # _xla_tile materialisation passes.  AMG_DMA_TILE=0 restores the
+        # BlockSpec-pipelined tile-stack path.
+        dma=(os.environ.get("AMG_DMA_TILE", "1") != "0" and not expand_ik),
     )
 
 
@@ -876,7 +890,7 @@ def _cspec(block_shape, c=None):
 def _down_kernel(
     x_ref, b_ref, *rest,
     offsA, offsR, color_grid, steps, omega, k, Hfx, Hfy, TX, TY, tiled_out,
-    factored, expand=False, emeta=None, cdt="",
+    factored, expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0,
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
@@ -885,8 +899,15 @@ def _down_kernel(
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
     wdt = x_ref.dtype
-    L = x_ref[0, 0]
-    B = b_ref[0, 0]
+    if dma:
+        rest, xbuf, bbuf, sems = rest[:-3], rest[-3], rest[-2], rest[-1]
+        t = j * gxs + i
+        num = gxs * gys
+        L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY)
+        B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY)
+    else:
+        L = x_ref[0, 0]
+        B = b_ref[0, 0]
     if expand:
         tA_ref, tT_ref, tS_ref, xo_ref, bc_ref = rest
         A, D, Tv, Sv = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
@@ -944,12 +965,17 @@ def _down_kernel(
     bc_ref[:] = acc.astype(bc_ref.dtype)
 
 
-def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
+def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
     """(x', b_c) = (presmooth(x, b), R·(b − A·x')) — one pallas_call.
 
     ``tiled=True`` returns ``(Xt', b_c, Bt)`` with ``Xt'`` the full halo-block
     form (consumed directly by :func:`fused_up_t` — skips one untile and one
-    re-tile of x per level per cycle) and ``Bt`` the tiled rhs for reuse."""
+    re-tile of x per level per cycle) and ``Bt`` the tiled rhs for reuse.
+
+    DMA caches (``cache.dma``) ignore ``tiled`` (the up leg re-reads fresh
+    halos from the flat output) and return ``(x', b_c, bpad)`` where ``bpad``
+    is the padded rhs plane for reuse by the up leg; pass it back via the
+    ``bpad`` kwarg to skip re-padding."""
     Wx, Wy = cache.row_dims
     Wxc, Wyc = cache.col_dims
     TX, TY = cache.tile
@@ -961,8 +987,16 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
     dtype = jnp.dtype(cache.wdtype)
     n = Wx * Wy
 
-    Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
-    Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+    if cache.dma:
+        Xt = _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        Bt = (
+            bpad
+            if bpad is not None
+            else _pad_plane(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        )
+    else:
+        Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
 
     kern = functools.partial(
         _down_kernel,
@@ -978,13 +1012,16 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
         Hfy=Hfy,
         TX=TX,
         TY=TY,
-        tiled_out=tiled,
+        tiled_out=tiled and not cache.dma,
         factored=cache.factored,
         expand=cache.expand_in_kernel,
         emeta=_emeta(cache),
         cdt=cache.sweep_dtype,
+        dma=cache.dma,
+        gxs=gx,
+        gys=gy,
     )
-    tile_spec = _cspec((1, 1, BX, BY))
+    tile_spec = _any_spec() if cache.dma else _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
     if cache.expand_in_kernel:
         extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
@@ -1006,10 +1043,11 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
         extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.R_tiled]
     # outputs at logical size: edge blocks overhang and Mosaic masks the
     # out-of-bounds stores — no post-slice pass over the result
-    xo_spec = tile_spec if tiled else _cspec((TX, TY))
+    eff_tiled = tiled and not cache.dma
+    xo_spec = tile_spec if eff_tiled else _cspec((TX, TY))
     xo_shape = (
         jax.ShapeDtypeStruct((gx, gy, BX, BY), dtype)
-        if tiled
+        if eff_tiled
         else jax.ShapeDtypeStruct((Wx, Wy), dtype)
     )
     xo, bc = pl.pallas_call(
@@ -1024,20 +1062,33 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
             xo_shape,
             jax.ShapeDtypeStruct((Wxc, Wyc), dtype),
         ),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, BX, BY), dtype),
+                pltpu.VMEM((2, BX, BY), dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ]
+            if cache.dma
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=(
+                ("arbitrary", "arbitrary") if cache.dma else ("parallel", "parallel")
+            ),
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops)
 
     bc = bc.reshape(Wxc * Wyc).astype(x.dtype)
-    if tiled:
+    if eff_tiled:
         return xo, bc, Bt
     xo = xo.reshape(n).astype(x.dtype)
     pad = x.shape[0] - n
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
+    if tiled:  # dma: hand back the padded rhs plane for the up leg
+        return xo, bc, Bt
     return xo, bc
 
 
@@ -1049,7 +1100,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False):
 def _up_kernel(
     x_ref, b_ref, *rest,
     offsA, offsP, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
-    factored, expand=False, emeta=None, cdt="",
+    factored, expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0,
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     i = pl.program_id(1)
@@ -1057,8 +1108,15 @@ def _up_kernel(
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
     wdt = x_ref.dtype
-    L = x_ref[0, 0]
-    B = b_ref[0, 0]
+    if dma:
+        rest, xbuf, bbuf, cbuf, sems = rest[:-4], rest[-4], rest[-3], rest[-2], rest[-1]
+        t = j * gxs + i
+        num = gxs * gys
+        L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY)
+        B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY)
+    else:
+        L = x_ref[0, 0]
+        B = b_ref[0, 0]
     if expand:
         tA_ref, tT_ref, tS_ref, xc_ref, xo_ref = rest
         A, D, Tv, Sv = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
@@ -1072,7 +1130,11 @@ def _up_kernel(
         d_ref, a_ref, p_ref, xc_ref, xo_ref = rest
         D = d_ref[0, 0].astype(L.dtype)
         A = a_ref[0, 0].astype(L.dtype)
-    XC = xc_ref[0, 0]
+    if dma:
+        TXc, TYc = TX // k, TY // k
+        XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TYc)
+    else:
+        XC = xc_ref[0, 0]
 
     # prolong-correct: fine local f reads coarse (f − Hf)//k + δ + Hc.
     # Lane-axis jnp.repeat crashes Mosaic — repeat lanes via transpose +
@@ -1101,15 +1163,26 @@ def _up_kernel(
 
 
 def fused_up(cache: FusedLegCache, x, b, xc):
-    """x = postsmooth(x + P·x_c, b) — one pallas_call."""
+    """x = postsmooth(x + P·x_c, b) — one pallas_call.
+
+    DMA caches accept ``b`` as the flat rhs or the padded plane returned by
+    :func:`fused_down` (it is loop-invariant)."""
     Wx, Wy = cache.row_dims
     TX, TY = cache.tile
     Hfx, Hfy = cache.Hf
     gx, gy = cache.grid
     dtype = jnp.dtype(cache.wdtype)
     n = Wx * Wy
-    Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
-    Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+    if cache.dma:
+        Xt = _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        Bt = (
+            b
+            if b.ndim == 2
+            else _pad_plane(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        )
+    else:
+        Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
     return _fused_up_tiled(cache, Xt, Bt, xc, x.dtype, x.shape[0])
 
 
@@ -1133,7 +1206,11 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
     n = Wx * Wy
     nc = Wxc * Wyc
 
-    XCt = _xla_tile(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+    XCt = (
+        _pad_plane(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+        if cache.dma
+        else _xla_tile(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+    )
 
     kern = functools.partial(
         _up_kernel,
@@ -1155,10 +1232,13 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         expand=cache.expand_in_kernel,
         emeta=_emeta(cache),
         cdt=cache.sweep_dtype,
+        dma=cache.dma,
+        gxs=gx,
+        gys=gy,
     )
-    tile_spec = _cspec((1, 1, BX, BY))
+    tile_spec = _any_spec() if cache.dma else _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
-    c_spec = _cspec((1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy))
+    c_spec = _any_spec() if cache.dma else _cspec((1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy))
     if cache.expand_in_kernel:
         extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
         extra_ops = [cache.tabA, cache.tabT, cache.tabS]
@@ -1183,8 +1263,20 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         in_specs=[tile_spec, tile_spec] + extra_specs + [c_spec],
         out_specs=_cspec((TX, TY)),
         out_shape=jax.ShapeDtypeStruct((Wx, Wy), dtype),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, BX, BY), dtype),
+                pltpu.VMEM((2, BX, BY), dtype),
+                pltpu.VMEM((2, TXc + 2 * Hcx, TYc + 2 * Hcy), dtype),
+                pltpu.SemaphoreType.DMA((3, 2)),
+            ]
+            if cache.dma
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=(
+                ("arbitrary", "arbitrary") if cache.dma else ("parallel", "parallel")
+            ),
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=cache.interpret,
@@ -1195,6 +1287,49 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
     return xo
+
+
+def _pad_plane(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
+    """flat padded vector → (2Hx + gx·TX, 2Hy + gy·TY) zero-margin plane —
+    the ANY-space input of the DMA-windowed kernels.  One XLA pad (memset +
+    copy), ~n elements of traffic vs the ~1.2–1.4n halo-duplicated tile
+    stack of :func:`_xla_tile`."""
+    g = v[:n].reshape(Wx, Wy).astype(dtype)
+    return jnp.pad(g, ((Hx, Hx + gx * TX - Wx), (Hy, Hy + gy * TY - Wy)))
+
+
+def _dma_window(hbm, buf, sems, kop, t, num, gx, TX, TY):
+    """Double-buffered halo-window fetch: at grid step ``t`` return the
+    (BX, BY) window starting at (i·TX, j·TY) of the padded plane ``hbm``,
+    having prefetched step ``t+1``'s window during step ``t``'s compute.
+    Requires sequential grid order (dimension_semantics 'arbitrary')."""
+    BX, BY = buf.shape[1], buf.shape[2]
+
+    def cp(tt, slot):
+        ii = tt % gx
+        jj = tt // gx
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(ii * TX, BX), pl.ds(jj * TY, BY)],
+            buf.at[slot],
+            sems.at[kop, slot],
+        )
+
+    slot = t % 2
+
+    @pl.when(t == 0)
+    def _():
+        cp(t, slot).start()
+
+    @pl.when(t + 1 < num)
+    def _():
+        cp(t + 1, 1 - slot).start()
+
+    cp(t, slot).wait()
+    return buf[slot]
+
+
+def _any_spec():
+    return pl.BlockSpec(memory_space=pl.ANY)
 
 
 def _xla_tile(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
@@ -1227,7 +1362,7 @@ def _xla_tile(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
 def _updown_kernel(
     x_ref, b_ref, *rest,
     offsA, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
-    expand=False, emeta=None, cdt="",
+    expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0,
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
@@ -1236,8 +1371,15 @@ def _updown_kernel(
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
     wdt = x_ref.dtype
-    L = x_ref[0, 0]
-    B = b_ref[0, 0]
+    if dma:
+        rest, xbuf, bbuf, cbuf, sems = rest[:-4], rest[-4], rest[-3], rest[-2], rest[-1]
+        t = j * gxs + i
+        num = gxs * gys
+        L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY)
+        B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY)
+    else:
+        L = x_ref[0, 0]
+        B = b_ref[0, 0]
     if expand:
         tA_ref, tT_ref, tS_ref, xc_ref, xo_ref, bc_ref = rest
         A, D, T, S = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
@@ -1247,7 +1389,10 @@ def _updown_kernel(
         A = a_ref[0, 0].astype(L.dtype)
         T = t_ref[0, 0].astype(L.dtype)
         S = s_ref[0, 0].astype(L.dtype)
-    XC = xc_ref[0, 0]
+    if dma:
+        XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TYc)
+    else:
+        XC = xc_ref[0, 0]
 
     # prolong-correct (factored): corr = Tup − s⊙(A·Tup)
     upx = jnp.repeat(XC, k, axis=0)
@@ -1301,13 +1446,22 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
     n = Wx * Wy
     nc = Wxc * Wyc
 
-    Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
-    Bt = (
-        b_or_bt
-        if b_or_bt.ndim == 4
-        else _xla_tile(b_or_bt, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
-    )
-    XCt = _xla_tile(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+    if cache.dma:
+        Xt = _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        Bt = (
+            b_or_bt
+            if b_or_bt.ndim == 2
+            else _pad_plane(b_or_bt, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        )
+        XCt = _pad_plane(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+    else:
+        Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        Bt = (
+            b_or_bt
+            if b_or_bt.ndim == 4
+            else _xla_tile(b_or_bt, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        )
+        XCt = _xla_tile(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
 
     kern = functools.partial(
         _updown_kernel,
@@ -1327,10 +1481,13 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
         expand=cache.expand_in_kernel,
         emeta=_emeta(cache),
         cdt=cache.sweep_dtype,
+        dma=cache.dma,
+        gxs=gx,
+        gys=gy,
     )
-    tile_spec = _cspec((1, 1, BX, BY))
+    tile_spec = _any_spec() if cache.dma else _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
-    c_spec = _cspec((1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy))
+    c_spec = _any_spec() if cache.dma else _cspec((1, 1, TXc + 2 * Hcx, TYc + 2 * Hcy))
     if cache.expand_in_kernel:
         extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
         extra_ops = [cache.tabA, cache.tabT, cache.tabS]
@@ -1354,8 +1511,20 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
             jax.ShapeDtypeStruct((Wx, Wy), dtype),
             jax.ShapeDtypeStruct((Wxc, Wyc), dtype),
         ),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, BX, BY), dtype),
+                pltpu.VMEM((2, BX, BY), dtype),
+                pltpu.VMEM((2, TXc + 2 * Hcx, TYc + 2 * Hcy), dtype),
+                pltpu.SemaphoreType.DMA((3, 2)),
+            ]
+            if cache.dma
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=(
+                ("arbitrary", "arbitrary") if cache.dma else ("parallel", "parallel")
+            ),
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=cache.interpret,

@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import algebraicmultigrid_tpu as amg
 
 
+_ml_stash = {}
+
+
 @pytest.fixture(scope="module")
 def fused_pair(monkeypatch_module=None):
     os.environ["AMG_PALLAS_FUSED"] = "1"
@@ -27,6 +30,7 @@ def fused_pair(monkeypatch_module=None):
             LP, proxy=64, cut_rows=2000, min_proxy_dim=16,
             aggregate=amg.StructuredAggregation(box=3),
         )
+        _ml_stash["ml"] = ml
         h = build_device_hierarchy(ml, dtype=jnp.float32)
         h0 = DeviceHierarchy(
             levels=tuple(
@@ -79,6 +83,44 @@ def test_fused_down_up_roundtrip(fused_pair):
     assert np.abs(np.asarray(xd) - np.asarray(xs)).max() / sc < 1e-5
     sc2 = max(np.abs(bc_ref).max(), 1e-30)
     assert np.abs(np.asarray(bc)[: bc_ref.shape[0]] - bc_ref).max() / sc2 < 1e-5
+
+
+def test_dma_windows_match_tile_stacks(fused_pair):
+    """The DMA-windowed x/b/xc input path (flat padded planes in ANY memory,
+    double-buffered in-kernel window fetches) must be bitwise-identical to
+    the BlockSpec tile-stack path — same halo over-compute, same sweep ops,
+    only the transport differs.  Small tiles force a multi-tile grid so the
+    prefetch rotation and edge windows are exercised."""
+    import jax.numpy as jnp
+    from algebraicmultigrid_tpu.models.device import (
+        _one_iteration,
+        build_device_hierarchy,
+        run_fixed_cycles,
+    )
+
+    N, h, h0 = fused_pair
+    ml = _ml_stash["ml"]
+    os.environ["AMG_LEG_TILE"] = "48,256"
+    try:
+        outs = {}
+        for dma in ("0", "1"):
+            os.environ["AMG_DMA_TILE"] = dma
+            hh = build_device_hierarchy(ml, dtype=jnp.float32)
+            assert hh.levels[0].fused is not None
+            assert hh.levels[0].fused.dma == (dma == "1")
+            n = N * N
+            rng = np.random.default_rng(0)
+            b = np.zeros(hh.fine_padded, np.float32)
+            b[:n] = rng.standard_normal(n)
+            x0 = jnp.zeros(hh.fine_padded, jnp.float32)
+            x1 = np.asarray(_one_iteration(hh, amg.V(), x0, jnp.asarray(b)))
+            x4 = np.asarray(run_fixed_cycles(hh, x0, jnp.asarray(b), 3))
+            outs[dma] = (x1, x4)
+    finally:
+        os.environ.pop("AMG_LEG_TILE", None)
+        os.environ.pop("AMG_DMA_TILE", None)
+    assert np.array_equal(outs["0"][0], outs["1"][0])
+    assert np.array_equal(outs["0"][1], outs["1"][1])
 
 
 def test_bf16_coefficient_storage_converges():
