@@ -1075,7 +1075,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
             dimension_semantics=(
                 ("arbitrary", "arbitrary") if cache.dma else ("parallel", "parallel")
             ),
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=100 * 2**20,  # v5e VMEM is 128M; slab tiles need >64M stack
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops)
@@ -1277,7 +1277,7 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
             dimension_semantics=(
                 ("arbitrary", "arbitrary") if cache.dma else ("parallel", "parallel")
             ),
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=100 * 2**20,  # v5e VMEM is 128M; slab tiles need >64M stack
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops, XCt)
@@ -1525,7 +1525,7 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
             dimension_semantics=(
                 ("arbitrary", "arbitrary") if cache.dma else ("parallel", "parallel")
             ),
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=100 * 2**20,  # v5e VMEM is 128M; slab tiles need >64M stack
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops, XCt)
