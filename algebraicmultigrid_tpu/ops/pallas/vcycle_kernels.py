@@ -833,6 +833,29 @@ def _all_residue_subsamples(r, Hx, Hy, k, TXc, TYc, M=1):
     return subs
 
 
+def _box_downsample(ts, Hx, Hy, k, TXc, TYc):
+    """bc[c, d] = Σ_{rx, ry ∈ [0,k)²} ts[Hx + k·c + rx, Hy + k·d + ry] — the
+    factored restriction's unit-weight k×k box sum (Tᵀ of a box-k tentative
+    prolongator sums each k×k cell, ref: src/aggregation.jl:161-193 column
+    scatter).  Reduce-then-pick replaces the k² margined subsamples of
+    :func:`_all_residue_subsamples`: the x axis collapses with a sublane
+    reshape-sum and the y axis with (k−1) lane rolls, so the expensive VMEM
+    transposes shrink from (1 + k) full (BX, BY) blocks to one
+    (k·TYc, TXc) round trip (~k× less relayout traffic per leg)."""
+    C = jax.lax.slice(ts, (Hx, Hy), (Hx + k * TXc, Hy + k * TYc))
+    g = C.reshape(TXc, k, k * TYc)
+    sx = g[:, 0, :]
+    for a in range(1, k):
+        sx = sx + g[:, a, :]
+    # u[j] = Σ_a sx[j + a]; the wrapped last (k−1) lanes are never picked
+    # (picked lanes are j = k·d ≤ k·TYc − k)
+    u = sx
+    for a in range(1, k):
+        u = u + _roll(sx, (-a) % (k * TYc), 1, k * TYc)
+    t = u.T
+    return t.reshape(TYc, k, TXc)[:, 0, :].T
+
+
 def _steps_list(n_colors, iters, fwd, bwd, omega=1.0):
     from ..coloring import color_steps
 
@@ -937,16 +960,10 @@ def _down_kernel(
     M = 1
     if factored or expand:
         # R = Tᵀ(I − A·diag(s)):  b_c = Tᵀ(r − A(s⊙r)); Tᵀ is a box-k sum,
-        # so b_c[c] = Σ_{ρ∈[0,k)²} (T⊙s̃)[k·c+ρ] — k² unit-weight subsamples
+        # i.e. a unit-weight k×k box downsample of T⊙s̃
         g = Sv * r
         ts = Tv * (r - _stencil_apply(A, g, offsA, BX, BY))
-        subs = _all_residue_subsamples(ts, Hfx, Hfy, k, TXc, TYc, M=M)
-        acc = None
-        for rx in range(k):
-            for ry in range(k):
-                sub = jax.lax.slice(subs[rx][ry], (M, M), (M + TXc, M + TYc))
-                acc = sub if acc is None else acc + sub
-        bc_ref[:] = acc.astype(bc_ref.dtype)
+        bc_ref[:] = _box_downsample(ts, Hfx, Hfy, k, TXc, TYc).astype(bc_ref.dtype)
         return
 
     # restriction: coarse local cl reads fine local k·cl + (δ + Hf).
@@ -1412,17 +1429,10 @@ def _updown_kernel(
 
     r = B - _stencil_apply(A, L, offsA, BX, BY)
 
-    # factored restriction: b_c = Σ_{ρ∈[0,k)²} subsample_ρ(T⊙(r − A(s⊙r)))
+    # factored restriction: b_c = box-k downsample of T⊙(r − A(s⊙r))
     g = S * r
     ts = T * (r - _stencil_apply(A, g, offsA, BX, BY))
-    M = 1
-    subs = _all_residue_subsamples(ts, Hfx, Hfy, k, TXc, TYc, M=M)
-    acc = None
-    for rx in range(k):
-        for ry in range(k):
-            sub = jax.lax.slice(subs[rx][ry], (M, M), (M + TXc, M + TYc))
-            acc = sub if acc is None else acc + sub
-    bc_ref[:] = acc.astype(bc_ref.dtype)
+    bc_ref[:] = _box_downsample(ts, Hfx, Hfy, k, TXc, TYc).astype(bc_ref.dtype)
 
 
 def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
