@@ -868,6 +868,9 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
         from ..ops.pallas.vcycle_kernels import fused_down, fused_up, fused_up_t
 
         with jax.named_scope(f"L{lvl}/down"):
+            # DMA caches chain x down→up as a padded PLANE written by
+            # in-kernel output DMA (no XLA pad/reshape between the legs);
+            # BlockSpec caches hand off in tiled halo-block form
             xt, coarse_b, bt = fused_down(level.fused, x, b, tiled=True)
             coarse_b = fit_len(coarse_b, n_next)
         if lvl == len(h.levels) - 1:
@@ -878,7 +881,7 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
             coarse_x = _next(h, cycle, coarse_x, coarse_b, lvl + 1)
         with jax.named_scope(f"L{lvl}/up"):
             if getattr(level.fused, "dma", False):
-                x = fused_up(level.fused, xt, bt, coarse_x)
+                x = fused_up(level.fused, xt, bt, coarse_x, out_len=x.shape[0])
             else:
                 x = fused_up_t(level.fused, xt, bt, coarse_x, x.dtype, x.shape[0])
         return x
@@ -967,12 +970,14 @@ def run_fixed_cycles(h: DeviceHierarchy, x, b, n_cycles: int):
     Hfx, Hfy = fused.Hf
     gx, gy = fused.grid
     if getattr(fused, "dma", False):
-        # padded rhs plane built once, reused by every down/updown/up
+        # padded rhs plane built once, reused by every down/updown/up; x
+        # chains through the loop as a padded plane (in-kernel output DMA,
+        # domain-masked window loads) — no XLA glue passes per cycle
         bt = _pad_plane(
             b, Wx * Wy, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, jnp.dtype(fused.wdtype)
         )
         with jax.named_scope("L0/down"):
-            xf, bc = fused_down(fused, x, b, bpad=bt)
+            xf, bc, _ = fused_down(fused, x, b, tiled=True, bpad=bt)
         b_up = bt
     else:
         with jax.named_scope("L0/down"):
@@ -983,17 +988,24 @@ def run_fixed_cycles(h: DeviceHierarchy, x, b, n_cycles: int):
         b_up = b
     bc = fit_len(bc, n_next)
 
-    def body(i, carry):
+    plane = getattr(fused, "dma", False)
+
+    def body(carry, _):
         xf, bc = carry
         xc = _subsolve(h, bc, 1)
         with jax.named_scope("L0/updown"):
-            xf, bc2 = fused_updown(fused, xf, bt, xc)
-        return xf, fit_len(bc2, n_next)
+            xf, bc2 = fused_updown(fused, xf, bt, xc, plane_out=plane)
+        return (xf, fit_len(bc2, n_next)), None
 
-    xf, bc = jax.lax.fori_loop(0, n_cycles - 1, body, (xf, bc))
+    # scan with unroll: the while-loop boundary copies the 67+ MB carry into
+    # its fixed slots every iteration (profiled at ~0.2 ms/cycle); unrolling
+    # 4 cycles per while step amortises it 4×
+    (xf, bc), _ = jax.lax.scan(
+        body, (xf, bc), None, length=n_cycles - 1, unroll=4
+    )
     xc = _subsolve(h, bc, 1)
     with jax.named_scope("L0/up"):
-        return fused_up(fused, xf, b_up, xc)
+        return fused_up(fused, xf, b_up, xc, out_len=x.shape[0])
 
 
 def device_cycle_fn(ml: MultiLevel, cycle: Cycle = V(), dtype=None):

@@ -122,6 +122,25 @@ class FusedLegCache:
     # identical to the tiled stale-band handoff (the halo over-compute
     # produces exactly the neighbour's interior values).
     dma: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # packed 2-color sweeps: for 5-point-cross stencils with a checkerboard
+    # coloring, every masked color step wastes half the VPU lanes (the full
+    # stencil is evaluated everywhere, then half the updates are discarded).
+    # Instead the block is split into same-color half planes along sublanes
+    # (R[pp, q] = L[2pp + q%2, q], K[pp, q] = L[2pp + 1 + q%2 ... wrapped]) —
+    # a parity shift + sublane-split reshape, NO transposes — and each color
+    # step runs the 5 stencil FMAs on ONE (BX/2, BY) plane with small
+    # parity-selected neighbour shifts.  Same FLOPs per updated point in the
+    # same order → bitwise identical to the masked sweep on the undiscarded
+    # region; coefficient planes are pre-packed at build time (concatenated
+    # [red; black] along the sublane axis, storage shape unchanged).
+    packed: str = dataclasses.field(default="", metadata=dict(static=True))
+    # pre-upsampled coarse correction (DMA + factored only): the wrapper
+    # expands x_c to the fine lattice with one XLA repeat pass and the
+    # up/updown kernels read fine-geometry windows directly — removing the
+    # in-kernel lane-repeat and its two VMEM transposes per tile.  Value-
+    # identical: out-of-domain window values differ but are annihilated by
+    # the zero-padded T plane.
+    xcup: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def grid(self):
@@ -333,8 +352,45 @@ def build_fused_leg_cache(
         n_steps * reachA + 2 * reachA + k,            # factored restriction
         n_steps2 * reachA + 2 * reachA + k,           # updown (deduped pair)
     )
-    Hfx = -(-need // 4) * 4
+    # packed color-plane sweeps: "cb2" (5-point cross + checkerboard halves,
+    # whose pack/unpack wraps cost 2 extra contaminated halo layers) or "h4"
+    # (±1-box stencil + 2×2 4-coloring, row-parity halves, no extra halo);
+    # both need 8-aligned Hfx so the half planes stay sublane-aligned
+    packed_ok = (
+        os.environ.get("AMG_PACKED_SWEEP", "1") != "0"
+        and os.environ.get("AMG_SWEEP_DTYPE", "") == ""
+        and jnp.dtype(dtype).itemsize == 4
+    )
+    packed_cand = ""
+    # cb2 measured on TPU v5e at 4096²: a net LOSS (updown 3.58 vs 2.27 ms
+    # masked) — the diagonal pack/unpack wraps and parity-selected neighbour
+    # planes cost more than the masked half-waste they remove.  Kept behind
+    # AMG_PACKED_SWEEP=all (bitwise-validated) for future revisits; h4 (pure
+    # reshape packing, uniform shifts) measured a 24% leg win and is the
+    # default.
+    if (
+        os.environ.get("AMG_PACKED_SWEEP", "") == "all"
+        and packed_ok
+        and _packed2_ok(specA.offsets, color_grid, n_colors)
+    ):
+        packed_cand = "cb2"
+    elif packed_ok and _packed4h_ok(specA.offsets, color_grid, n_colors):
+        packed_cand = "h4"
+    if packed_cand == "cb2":
+        # +2 per leg (pack + unpack wraps); the tiled down→up handoff chains
+        # two legs' contamination, so its line doubles the allowance
+        need = max(need + 2, 2 * n_steps * reachA + 4)
+    # Hfx is 8-aligned unconditionally: the chained-plane output DMA
+    # (_plane_store) slices the HBM plane at sublane offset Hfx + i·TX,
+    # which Mosaic requires provably divisible by the (8,·) tiling; packed
+    # sweeps additionally need it for half-plane splits.  Costs ≤ 4 halo
+    # rows over the old 4-alignment.
+    Hfx = -(-need // 8) * 8
     Hfy = 64 * (-(-need // 64))
+    if os.environ.get("AMG_DMA_TILE", "1") != "0":
+        # lane-axis analogue: plane stores start at Hfy + j·TY → 128-align.
+        # (Window LOADS start at j·TY and never needed this.)
+        Hfy = 128 * (-(-need // 128))
     Hcx, Hcy = max(-(-Hfx // k) + reachP, 4), 64
     Hcx = -(-Hcx // 4) * 4
     if k * Hcx < Hfx + k * reachP or k * Hcy < Hfy + k * reachP:
@@ -431,9 +487,17 @@ def build_fused_leg_cache(
         )
         return ops + tmp
 
-    budget = int(os.environ.get("AMG_LEG_VMEM_MB", 24)) * 2**20
-    while vmem_need(TX) > budget and TX > 8 * k:
-        TX -= 8 * k
+    # 48 MB default (compiler cap is 100): measured at 4096² — TX 240 at
+    # vm=48 beats the 24 MB budget's TX 168 (2.279 vs 2.309 ms/updown)
+    budget = int(os.environ.get("AMG_LEG_VMEM_MB", 48)) * 2**20
+    # packed candidates shrink at the packing granularity (TX/2 must stay a
+    # sublane multiple) so the VMEM fit can't silently strand the tile on a
+    # non-packable size
+    step = 8 * k if not packed_cand or (8 * k) % 16 == 0 else 16 * k
+    if packed_cand and TX % step:
+        TX = max(step, TX - TX % step)
+    while vmem_need(TX) > budget and TX > step:
+        TX -= step
     if vmem_need(TX) > budget:
         return None
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
@@ -562,6 +626,26 @@ def build_fused_leg_cache(
                 coef_name=jnp.dtype(coef_dtype).name,
             )
 
+    # packed-sweep finalisation: the VMEM loop may have shrunk TX, so the
+    # half-plane sublane alignment is re-checked on the final tile shape
+    packed = (
+        packed_cand
+        if (
+            factored
+            and not expand_ik
+            and TX % 2 == 0
+            and (TX // 2) % 8 == 0
+            and Hfx % 8 == 0
+        )
+        else ""
+    )
+    if packed:
+        _pk = _pack_concat_dev if packed == "cb2" else _pack_concat_h_dev
+        A_tiled = _pk(A_tiled)
+        dinv_tiled = _pk(dinv_tiled)
+        T_tiled = _pk(T_tiled)
+        S_tiled = _pk(S_tiled)
+
     # representative-tile compaction (see FusedLegCache.cA doc): compute the
     # per-operand interior runs and shrink the stored tiled arrays; the
     # kernels' index maps send interior tiles to the representative block
@@ -590,6 +674,7 @@ def build_fused_leg_cache(
             cR = _compact_pair(specR, TXc, TYc, 0, 0, gx, gy, Wxc, Wyc)
             R_tiled = _compact_take(R_tiled, cR, gx, gy)
 
+    dma_flag = os.environ.get("AMG_DMA_TILE", "1") != "0" and not expand_ik
     return FusedLegCache(
         A_tiled=A_tiled,
         dinv_tiled=dinv_tiled,
@@ -632,7 +717,19 @@ def build_fused_leg_cache(
         # DMA-windowed x/b/xc (default on): measured win — removes the
         # _xla_tile materialisation passes.  AMG_DMA_TILE=0 restores the
         # BlockSpec-pipelined tile-stack path.
-        dma=(os.environ.get("AMG_DMA_TILE", "1") != "0" and not expand_ik),
+        dma=dma_flag,
+        packed=packed,
+        # measured on TPU v5e at 4096²: a 0.6 ms/call LOSS (updown 2.89 vs
+        # 2.28 ms) — the fine-geometry x_c window streams ~9× the coarse
+        # window's bytes through the already-bandwidth-bound DMA transport,
+        # costing more than the in-kernel repeat+transposes it removes.
+        # Kept behind AMG_XC_UP=1 (value-identical, validated).
+        xcup=bool(
+            dma_flag
+            and factored
+            and not expand_ik
+            and os.environ.get("AMG_XC_UP", "0") == "1"
+        ),
     )
 
 
@@ -801,6 +898,277 @@ def _sweep(L, B, D, a_planes, color_of, steps, omega, offs, BX, BY):
     return L
 
 
+# --------------------------------------------------------------------------
+# packed 2-color (checkerboard) planes — see FusedLegCache.packed
+#
+# Layout: M[p, q] = L[p + q%2, q] (parity shift along sublanes), then
+# R[pp, q] = M[2pp, q] (the (p+q)%2 == 0 set), K[pp, q] = M[2pp+1, q].
+# All shifts wrap (pltpu.roll); the wrapped rows live in the outermost halo
+# layers, which the builder's halo sizing (+2 when packed) discards.
+# --------------------------------------------------------------------------
+
+
+def _qodd_mask(BX, BY):
+    return jax.lax.broadcasted_iota(jnp.int32, (BX, BY), 1) % 2 == 1
+
+
+def _pack2(L, BX, BY):
+    """(BX, BY) block → (R, K) checkerboard half planes (BX//2, BY)."""
+    Lup = _roll(L, BX - 1, 0, BX)  # Lup[p] = L[p+1]
+    M = jnp.where(_qodd_mask(BX, BY), Lup, L)
+    Ms = M.reshape(BX // 2, 2, BY)
+    return Ms[:, 0, :], Ms[:, 1, :]
+
+
+def _unpack2(R, K, BX, BY):
+    """Inverse of :func:`_pack2` (one interleave reshape + parity unshift)."""
+    M2 = jnp.stack((R, K), axis=1).reshape(BX, BY)
+    M2dn = _roll(M2, 1, 0, BX)  # M2dn[p] = M2[p-1]
+    return jnp.where(_qodd_mask(BX, BY), M2dn, M2)
+
+
+def _packed2_srcs(R, K, red, BX2, BY):
+    """offset → source half plane for updating the given parity set.
+
+    Derivation (q' denotes the column being READ):
+      red    (0,0)→R  (−1,0)→Kn  (1,0)→K   (0,∓1)→roll(U, ±1 lanes) with
+             U[·, q'] = Kn if q' odd else K,  Kn[pp] = K[pp−1]
+      black  (0,0)→K  (−1,0)→R   (1,0)→Rs  (0,∓1)→roll(U2, ±1 lanes) with
+             U2[·, q'] = R if q' odd else Rs, Rs[pp] = R[pp+1]
+    """
+    qodd = _qodd_mask(BX2, BY)
+    if red:
+        Kn = _roll(K, 1, 0, BX2)  # Kn[pp] = K[pp-1]
+        U = jnp.where(qodd, Kn, K)
+        return {
+            (0, 0): R,
+            (-1, 0): Kn,
+            (1, 0): K,
+            (0, -1): _roll(U, 1, 1, BY),
+            (0, 1): _roll(U, BY - 1, 1, BY),
+        }
+    Rs = _roll(R, BX2 - 1, 0, BX2)  # Rs[pp] = R[pp+1]
+    U2 = jnp.where(qodd, R, Rs)
+    return {
+        (0, 0): K,
+        (-1, 0): R,
+        (1, 0): Rs,
+        (0, -1): _roll(U2, 1, 1, BY),
+        (0, 1): _roll(U2, BY - 1, 1, BY),
+    }
+
+
+def _papply2(Lr, Lk, Ar, Ak, offs, BX2, BY):
+    """Packed y = A·x: per-parity stencil sums in the cache's offset order
+    (bitwise-identical accumulation to :func:`_stencil_apply`)."""
+    sr = _packed2_srcs(Lr, Lk, True, BX2, BY)
+    sk = _packed2_srcs(Lr, Lk, False, BX2, BY)
+    yr = yk = None
+    for kk, off in enumerate(offs):
+        tr = Ar[kk] * sr[off]
+        tk = Ak[kk] * sk[off]
+        yr = tr if yr is None else yr + tr
+        yk = tk if yk is None else yk + tk
+    return yr, yk
+
+
+def _psweep2(Lr, Lk, Br, Bk, Dr, Dk, Ar, Ak, steps_par, omega, offs, BX2, BY):
+    """Packed multicolor sweep: steps_par ∈ {0 (red), 1 (black)}*; each step
+    updates one half plane with the same expression as :func:`_sweep`."""
+    for par in steps_par:
+        if par == 0:
+            srcs = _packed2_srcs(Lr, Lk, True, BX2, BY)
+            rsum = None
+            for kk, off in enumerate(offs):
+                term = Ar[kk] * srcs[off]
+                rsum = term if rsum is None else rsum + term
+            Lr = Lr + omega * Dr * (Br - rsum)
+        else:
+            srcs = _packed2_srcs(Lr, Lk, False, BX2, BY)
+            rsum = None
+            for kk, off in enumerate(offs):
+                term = Ak[kk] * srcs[off]
+                rsum = term if rsum is None else rsum + term
+            Lk = Lk + omega * Dk * (Bk - rsum)
+    return Lr, Lk
+
+
+def _steps_parity(steps, color_grid):
+    """Color ids → parity sets (0 = the (p+q)%2==0 set) for a checkerboard
+    2×2 color grid (valid only when :func:`_packed2_ok` accepted it)."""
+    tab00 = int(np.asarray(color_grid)[0][0])
+    return tuple(0 if c == tab00 else 1 for c in steps)
+
+
+def _packed2_ok(offsets, color_grid, n_colors):
+    """Stencil/coloring eligibility for the packed 2-color sweeps."""
+    if n_colors != 2:
+        return False
+    tab = np.asarray(color_grid)
+    if tab.shape != (2, 2):
+        return False
+    if not (tab[0, 0] == tab[1, 1] and tab[0, 1] == tab[1, 0] and tab[0, 0] != tab[0, 1]):
+        return False
+    cross = {(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)}
+    return all(o in cross for o in offsets)
+
+
+def _pack_concat_dev(p):
+    """Build-time coefficient packing (jnp): (..., BX, BY) plane →
+    [red; black] concatenated along the sublane axis (same shape).  The wrap
+    convention matches the kernels' in-block :func:`_pack2` exactly."""
+    BX, BY = p.shape[-2], p.shape[-1]
+    qodd = jnp.arange(BY) % 2 == 1
+    pup = jnp.roll(p, -1, axis=-2)  # pup[p] = p[p+1]
+    M = jnp.where(qodd, pup, p)
+    Ms = M.reshape(p.shape[:-2] + (BX // 2, 2, BY))
+    return jnp.concatenate([Ms[..., 0, :], Ms[..., 1, :]], axis=-2)
+
+
+def _pack_concat_np(p):
+    BX, BY = p.shape[-2], p.shape[-1]
+    qodd = np.arange(BY) % 2 == 1
+    pup = np.roll(p, -1, axis=-2)
+    M = np.where(qodd, pup, p)
+    Ms = M.reshape(p.shape[:-2] + (BX // 2, 2, BY))
+    return np.concatenate([Ms[..., 0, :], Ms[..., 1, :]], axis=-2)
+
+
+# --------------------------------------------------------------------------
+# packed 4-color (2×2 grid) planes — the 9-point-stencil analogue.
+#
+# Rows split by p-parity into two half planes Pu[pp, q] = L[2pp + u, q]
+# (pure sublane reshape picks — no shifts, no extra halo contamination);
+# a color (u, v) lives in plane u at lanes q%2 == v.  Each color step runs
+# the 9 stencil FMAs on ONE half plane with uniform (never parity-selected)
+# neighbour shifts, then blends on the lane-parity mask — half the masked
+# sweep's per-step VPU work.
+# --------------------------------------------------------------------------
+
+
+def _packh(L, BX, BY):
+    Ms = L.reshape(BX // 2, 2, BY)
+    return Ms[:, 0, :], Ms[:, 1, :]
+
+
+def _unpackh(P0, P1, BX, BY):
+    return jnp.stack((P0, P1), axis=1).reshape(BX, BY)
+
+
+def _srcs_h(P0, P1, u, offs, BX2, BY):
+    """(w, su, dy) → rolled source half plane for updating/applying row
+    parity ``u``: offset (dx, dy) reads plane w = (u+dx)%2 at sublane shift
+    su = (u+dx-w)//2 and lane shift dy.  Rolled planes shared across
+    offsets."""
+    subs = {}
+    out = {}
+    for dx, dy in offs:
+        w = (u + dx) % 2
+        su = (u + dx - w) // 2
+        if (w, su) not in subs:
+            base = P0 if w == 0 else P1
+            subs[(w, su)] = base if su == 0 else _roll(base, (-su) % BX2, 0, BX2)
+        if (w, su, dy) not in out:
+            s = subs[(w, su)]
+            out[(w, su, dy)] = s if dy == 0 else _roll(s, (-dy) % BY, 1, BY)
+    return out
+
+
+def _src_key_h(u, dx, dy):
+    w = (u + dx) % 2
+    return (w, (u + dx - w) // 2, dy)
+
+
+def _papplyh(P0, P1, A0, A1, offs, BX2, BY):
+    """Row-parity-split y = A·x (bitwise-identical accumulation order)."""
+    ys = []
+    for u, Au in ((0, A0), (1, A1)):
+        srcs = _srcs_h(P0, P1, u, offs, BX2, BY)
+        y = None
+        for kk, (dx, dy) in enumerate(offs):
+            term = Au[kk] * srcs[_src_key_h(u, dx, dy)]
+            y = term if y is None else y + term
+        ys.append(y)
+    return ys[0], ys[1]
+
+
+def _psweeph(P0, P1, B0, B1, D0, D1, A0, A1, steps_uv, omega, offs, BX2, BY):
+    qpar = jax.lax.broadcasted_iota(jnp.int32, (BX2, BY), 1) % 2
+    for u, v in steps_uv:
+        Pu = P0 if u == 0 else P1
+        Au = A0 if u == 0 else A1
+        Bu = B0 if u == 0 else B1
+        Du = D0 if u == 0 else D1
+        srcs = _srcs_h(P0, P1, u, offs, BX2, BY)
+        rsum = None
+        for kk, (dx, dy) in enumerate(offs):
+            term = Au[kk] * srcs[_src_key_h(u, dx, dy)]
+            rsum = term if rsum is None else rsum + term
+        upd = Pu + omega * Du * (Bu - rsum)
+        Pu = jnp.where(qpar == v, upd, Pu)
+        if u == 0:
+            P0 = Pu
+        else:
+            P1 = Pu
+    return P0, P1
+
+
+def _steps_uv(steps, color_grid):
+    tab = np.asarray(color_grid)
+    pos = {int(tab[u, v]): (u, v) for u in range(2) for v in range(2)}
+    return tuple(pos[c] for c in steps)
+
+
+def _packed4h_ok(offsets, color_grid, n_colors):
+    """Eligibility for the 4-color two-plane packing: 2×2 color grid with 4
+    distinct colors and a stencil within the ±1 box."""
+    if n_colors != 4:
+        return False
+    tab = np.asarray(color_grid)
+    if tab.shape != (2, 2) or len({int(c) for c in tab.ravel()}) != 4:
+        return False
+    return all(-1 <= dx <= 1 and -1 <= dy <= 1 for dx, dy in offsets)
+
+
+def _pack_concat_h_dev(p):
+    """Build-time row-parity coefficient packing: [even rows; odd rows]
+    concatenated along the sublane axis (same storage shape)."""
+    BX = p.shape[-2]
+    Ms = p.reshape(p.shape[:-2] + (BX // 2, 2, p.shape[-1]))
+    return jnp.concatenate([Ms[..., 0, :], Ms[..., 1, :]], axis=-2)
+
+
+# unified dispatch for the two packed modes ("cb2" checkerboard halves,
+# "h4" row-parity halves); coefficient planes arrive pre-packed either way
+# as [first-half; second-half] sublane concats
+
+
+def _pk_pack(mode, L, BX, BY):
+    return _pack2(L, BX, BY) if mode == "cb2" else _packh(L, BX, BY)
+
+
+def _pk_unpack(mode, a, b, BX, BY):
+    return _unpack2(a, b, BX, BY) if mode == "cb2" else _unpackh(a, b, BX, BY)
+
+
+def _pk_apply(mode, a, b, Aa, Ab, offs, BX2, BY):
+    if mode == "cb2":
+        return _papply2(a, b, Aa, Ab, offs, BX2, BY)
+    return _papplyh(a, b, Aa, Ab, offs, BX2, BY)
+
+
+def _pk_sweep(mode, a, b, Ba, Bb, Da, Db, Aa, Ab, steps, color_grid, omega, offs, BX2, BY):
+    if mode == "cb2":
+        return _psweep2(
+            a, b, Ba, Bb, Da, Db, Aa, Ab,
+            _steps_parity(steps, color_grid), omega, offs, BX2, BY,
+        )
+    return _psweeph(
+        a, b, Ba, Bb, Da, Db, Aa, Ab,
+        _steps_uv(steps, color_grid), omega, offs, BX2, BY,
+    )
+
+
 def _subsample(L, s0x, s0y, k, TXc, TYc):
     """Exact stride-k pick: L[s0x::k, s0y::k] → (TXc, TYc), via sublane
     reshapes + transposes (no lane-strided slices in Mosaic)."""
@@ -914,23 +1282,39 @@ def _down_kernel(
     x_ref, b_ref, *rest,
     offsA, offsR, color_grid, steps, omega, k, Hfx, Hfy, TX, TY, tiled_out,
     factored, expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0,
+    packed="", plane_out=False, maskx=False, Wxy=(0, 0),
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
     i = pl.program_id(1)
     j = pl.program_id(0)
-    col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
     wdt = x_ref.dtype
+    obuf = osem = None
     if dma:
+        if plane_out:
+            rest, obuf, osem = rest[:-2], rest[-2], rest[-1]
         rest, xbuf, bbuf, sems = rest[:-3], rest[-3], rest[-2], rest[-1]
         t = j * gxs + i
         num = gxs * gys
         L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY)
         B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY)
+        if maskx:
+            L = _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wxy[0], Wxy[1])
     else:
         L = x_ref[0, 0]
         B = b_ref[0, 0]
+
+    def emit_x(Lfull):
+        if plane_out:
+            _plane_store(
+                xo_ref, obuf, osem, j * gxs + i, gxs * gys, gxs, TX, TY,
+                Hfx, Hfy, Lfull[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(wdt),
+            )
+        elif tiled_out:
+            xo_ref[0, 0] = Lfull.astype(wdt)
+        else:
+            xo_ref[:] = Lfull[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(wdt)
     if expand:
         tA_ref, tT_ref, tS_ref, xo_ref, bc_ref = rest
         A, D, Tv, Sv = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
@@ -945,14 +1329,38 @@ def _down_kernel(
         D = d_ref[0, 0].astype(L.dtype)
         A = a_ref[0, 0].astype(L.dtype)
 
+    if packed:
+        # half the VPU work per color step: sweep + residual + factored
+        # restriction all in same-parity half planes (coefficients arrive
+        # pre-packed [first; second] along sublanes from the builder)
+        BX2 = BX // 2
+        Lr, Lk = _pk_pack(packed, L, BX, BY)
+        Br, Bk = _pk_pack(packed, B, BX, BY)
+        Dr, Dk = D[:BX2], D[BX2:]
+        Ar = [A[kk, :BX2] for kk in range(len(offsA))]
+        Ak = [A[kk, BX2:] for kk in range(len(offsA))]
+        Lr, Lk = _pk_sweep(
+            packed, Lr, Lk, Br, Bk, Dr, Dk, Ar, Ak,
+            steps, color_grid, omega, offsA, BX2, BY,
+        )
+        L = _pk_unpack(packed, Lr, Lk, BX, BY)
+        emit_x(L)
+        yr, yk = _pk_apply(packed, Lr, Lk, Ar, Ak, offsA, BX2, BY)
+        rr, rk = Br - yr, Bk - yk
+        gr, gk = Sv[:BX2] * rr, Sv[BX2:] * rk
+        ar, ak = _pk_apply(packed, gr, gk, Ar, Ak, offsA, BX2, BY)
+        tsr = Tv[:BX2] * (rr - ar)
+        tsk = Tv[BX2:] * (rk - ak)
+        ts = _pk_unpack(packed, tsr, tsk, BX, BY)
+        bc_ref[:] = _box_downsample(ts, Hfx, Hfy, k, TXc, TYc).astype(bc_ref.dtype)
+        return
+
+    col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
     L = _sweep_c(L, B, D, A, col, steps, omega, offsA, BX, BY, cdt)
-    if tiled_out:
-        # hand the whole halo block to the up leg (the outer
-        # n_steps·reachA halo layers are stale, but the builder sized Hf so
-        # the remaining valid band covers the up leg's sweeps)
-        xo_ref[0, 0] = L.astype(wdt)
-    else:
-        xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(wdt)
+    # tiled_out hands the whole halo block to the up leg (the outer
+    # n_steps·reachA halo layers are stale, but the builder sized Hf so the
+    # remaining valid band covers the up leg's sweeps)
+    emit_x(L)
 
     # residual on the (still-valid) halo region
     r = B - _stencil_apply(A, L, offsA, BX, BY)
@@ -989,10 +1397,13 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
     form (consumed directly by :func:`fused_up_t` — skips one untile and one
     re-tile of x per level per cycle) and ``Bt`` the tiled rhs for reuse.
 
-    DMA caches (``cache.dma``) ignore ``tiled`` (the up leg re-reads fresh
-    halos from the flat output) and return ``(x', b_c, bpad)`` where ``bpad``
-    is the padded rhs plane for reuse by the up leg; pass it back via the
-    ``bpad`` kwarg to skip re-padding."""
+    DMA caches (``cache.dma``) with ``tiled=True`` return
+    ``(Xp', b_c, bpad)`` where ``Xp'`` is the smoothed x as a PADDED PLANE
+    (written by in-kernel output DMA; margins unwritten — every consumer
+    kernel domain-masks its loaded windows) and ``bpad`` the padded rhs
+    plane; both feed :func:`fused_up`/:func:`fused_updown` directly with no
+    XLA pad/reshape pass between legs.  ``x`` may itself be a plane (ndim
+    2) from a previous chained leg."""
     Wx, Wy = cache.row_dims
     Wxc, Wyc = cache.col_dims
     TX, TY = cache.tile
@@ -1004,8 +1415,11 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
     dtype = jnp.dtype(cache.wdtype)
     n = Wx * Wy
 
+    maskx = False
+    plane_out = bool(tiled and cache.dma)
     if cache.dma:
-        Xt = _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        maskx = x.ndim == 2
+        Xt = x if maskx else _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
         Bt = (
             bpad
             if bpad is not None
@@ -1017,6 +1431,9 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
 
     kern = functools.partial(
         _down_kernel,
+        plane_out=plane_out,
+        maskx=maskx,
+        Wxy=(Wx, Wy),
         offsA=cache.offsA,
         offsR=cache.offsR,
         color_grid=cache.color_grid,
@@ -1037,6 +1454,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
         dma=cache.dma,
         gxs=gx,
         gys=gy,
+        packed=cache.packed,
     )
     tile_spec = _any_spec() if cache.dma else _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
@@ -1061,12 +1479,17 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
     # outputs at logical size: edge blocks overhang and Mosaic masks the
     # out-of-bounds stores — no post-slice pass over the result
     eff_tiled = tiled and not cache.dma
-    xo_spec = tile_spec if eff_tiled else _cspec((TX, TY))
-    xo_shape = (
-        jax.ShapeDtypeStruct((gx, gy, BX, BY), dtype)
-        if eff_tiled
-        else jax.ShapeDtypeStruct((Wx, Wy), dtype)
-    )
+    if plane_out:
+        xo_spec = _any_spec()
+        xo_shape = jax.ShapeDtypeStruct(
+            (2 * Hfx + gx * TX, 2 * Hfy + gy * TY), dtype
+        )
+    elif eff_tiled:
+        xo_spec = tile_spec
+        xo_shape = jax.ShapeDtypeStruct((gx, gy, BX, BY), dtype)
+    else:
+        xo_spec = _cspec((TX, TY))
+        xo_shape = jax.ShapeDtypeStruct((Wx, Wy), dtype)
     xo, bc = pl.pallas_call(
         kern,
         grid=(gy, gx),
@@ -1083,8 +1506,13 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
             [
                 pltpu.VMEM((2, BX, BY), dtype),
                 pltpu.VMEM((2, BX, BY), dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                _dma_sems(2),
             ]
+            + (
+                [pltpu.VMEM((2, TX, TY), dtype), pltpu.SemaphoreType.DMA((2,))]
+                if plane_out
+                else []
+            )
             if cache.dma
             else []
         ),
@@ -1097,15 +1525,14 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops)
 
-    bc = bc.reshape(Wxc * Wyc).astype(x.dtype)
-    if eff_tiled:
+    out_dtype = dtype if x.ndim == 2 else x.dtype
+    bc = bc.reshape(Wxc * Wyc).astype(out_dtype)
+    if plane_out or eff_tiled:
         return xo, bc, Bt
-    xo = xo.reshape(n).astype(x.dtype)
+    xo = xo.reshape(n).astype(out_dtype)
     pad = x.shape[0] - n
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
-    if tiled:  # dma: hand back the padded rhs plane for the up leg
-        return xo, bc, Bt
     return xo, bc
 
 
@@ -1118,11 +1545,11 @@ def _up_kernel(
     x_ref, b_ref, *rest,
     offsA, offsP, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
     factored, expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0,
+    packed="", xcup=False, maskx=False, Wxy=(0, 0),
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     i = pl.program_id(1)
     j = pl.program_id(0)
-    col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
     wdt = x_ref.dtype
     if dma:
@@ -1131,6 +1558,8 @@ def _up_kernel(
         num = gxs * gys
         L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY)
         B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY)
+        if maskx:
+            L = _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wxy[0], Wxy[1])
     else:
         L = x_ref[0, 0]
         B = b_ref[0, 0]
@@ -1149,21 +1578,55 @@ def _up_kernel(
         A = a_ref[0, 0].astype(L.dtype)
     if dma:
         TXc, TYc = TX // k, TY // k
-        XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TYc)
+        if xcup:
+            XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TX, TY)
+        else:
+            XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TYc)
     else:
         XC = xc_ref[0, 0]
 
     # prolong-correct: fine local f reads coarse (f − Hf)//k + δ + Hc.
     # Lane-axis jnp.repeat crashes Mosaic — repeat lanes via transpose +
-    # sublane repeat + transpose (same trick as the stride-k subsample).
-    upx = jnp.repeat(XC, k, axis=0)
-    up = jnp.repeat(upx.T, k, axis=0).T
+    # sublane repeat + transpose (same trick as the stride-k subsample);
+    # xcup caches skip all of it (the window IS the upsampled plane).
+    if xcup:
+        up = None
+        src0 = XC
+    else:
+        upx = jnp.repeat(XC, k, axis=0)
+        up = jnp.repeat(upx.T, k, axis=0).T
+        src0 = None
+    if packed:
+        BX2 = BX // 2
+        if src0 is None:
+            sx = k * Hcx - Hfx
+            sy = k * Hcy - Hfy
+            src0 = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
+        src = src0
+        Lr, Lk = _pk_pack(packed, L, BX, BY)
+        Br, Bk = _pk_pack(packed, B, BX, BY)
+        sr, sk = _pk_pack(packed, src, BX, BY)
+        Dr, Dk = D[:BX2], D[BX2:]
+        Ar = [A[kk, :BX2] for kk in range(len(offsA))]
+        Ak = [A[kk, BX2:] for kk in range(len(offsA))]
+        Tup_r, Tup_k = Tv[:BX2] * sr, Tv[BX2:] * sk
+        ar, ak = _pk_apply(packed, Tup_r, Tup_k, Ar, Ak, offsA, BX2, BY)
+        Lr = Lr + (Tup_r - Sv[:BX2] * ar)
+        Lk = Lk + (Tup_k - Sv[BX2:] * ak)
+        Lr, Lk = _pk_sweep(
+            packed, Lr, Lk, Br, Bk, Dr, Dk, Ar, Ak,
+            steps, color_grid, omega, offsA, BX2, BY,
+        )
+        L = _pk_unpack(packed, Lr, Lk, BX, BY)
+        xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(xo_ref.dtype)
+        return
     if factored or expand:
         # P = (I − diag(s)·A)·T, T single-offset: corr = Tup − s⊙(A·Tup)
-        sx = k * Hcx - Hfx
-        sy = k * Hcy - Hfy
-        src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
-        Tup = Tv * src
+        if src0 is None:
+            sx = k * Hcx - Hfx
+            sy = k * Hcy - Hfy
+            src0 = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
+        Tup = Tv * src0
         corr = Tup - Sv * _stencil_apply(A, Tup, offsA, BX, BY)
     else:
         corr = None
@@ -1175,23 +1638,28 @@ def _up_kernel(
             corr = term if corr is None else corr + term
     L = L + corr
 
+    col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
     L = _sweep_c(L, B, D, A, col, steps, omega, offsA, BX, BY, cdt)
     xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(xo_ref.dtype)
 
 
-def fused_up(cache: FusedLegCache, x, b, xc):
-    """x = postsmooth(x + P·x_c, b) — one pallas_call.
+def fused_up(cache: FusedLegCache, x, b, xc, out_len=None):
+    """x = postsmooth(x + P·x_c, b) — one pallas_call; returns the flat x.
 
-    DMA caches accept ``b`` as the flat rhs or the padded plane returned by
-    :func:`fused_down` (it is loop-invariant)."""
+    DMA caches accept ``x`` as the flat vector or the chained padded plane
+    from :func:`fused_down`/:func:`fused_updown` (whose margins are
+    unwritten — the kernel domain-masks the loaded windows), and ``b`` as
+    the flat rhs or the padded plane (loop-invariant)."""
     Wx, Wy = cache.row_dims
     TX, TY = cache.tile
     Hfx, Hfy = cache.Hf
     gx, gy = cache.grid
     dtype = jnp.dtype(cache.wdtype)
     n = Wx * Wy
+    maskx = False
     if cache.dma:
-        Xt = _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        maskx = x.ndim == 2
+        Xt = x if maskx else _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
         Bt = (
             b
             if b.ndim == 2
@@ -1200,7 +1668,10 @@ def fused_up(cache: FusedLegCache, x, b, xc):
     else:
         Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
         Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
-    return _fused_up_tiled(cache, Xt, Bt, xc, x.dtype, x.shape[0])
+    out_dtype = dtype if maskx else x.dtype
+    if out_len is None:
+        out_len = n if x.ndim == 2 else x.shape[0]
+    return _fused_up_tiled(cache, Xt, Bt, xc, out_dtype, out_len, maskx=maskx)
 
 
 def fused_up_t(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
@@ -1209,7 +1680,7 @@ def fused_up_t(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
     return _fused_up_tiled(cache, Xt, Bt, xc, out_dtype, out_len)
 
 
-def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
+def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len, maskx=False):
     Wx, Wy = cache.row_dims
     Wxc, Wyc = cache.col_dims
     TX, TY = cache.tile
@@ -1223,14 +1694,17 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
     n = Wx * Wy
     nc = Wxc * Wyc
 
-    XCt = (
-        _pad_plane(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
-        if cache.dma
-        else _xla_tile(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
-    )
+    if cache.xcup:
+        XCt = _upsample_plane(cache, xc, dtype)
+    elif cache.dma:
+        XCt = _pad_plane(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+    else:
+        XCt = _xla_tile(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
 
     kern = functools.partial(
         _up_kernel,
+        maskx=maskx,
+        Wxy=(Wx, Wy),
         offsA=cache.offsA,
         offsP=cache.offsP,
         color_grid=cache.color_grid,
@@ -1252,6 +1726,8 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
         dma=cache.dma,
         gxs=gx,
         gys=gy,
+        packed=cache.packed,
+        xcup=cache.xcup,
     )
     tile_spec = _any_spec() if cache.dma else _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
@@ -1284,8 +1760,11 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
             [
                 pltpu.VMEM((2, BX, BY), dtype),
                 pltpu.VMEM((2, BX, BY), dtype),
-                pltpu.VMEM((2, TXc + 2 * Hcx, TYc + 2 * Hcy), dtype),
-                pltpu.SemaphoreType.DMA((3, 2)),
+                pltpu.VMEM(
+                    (2, BX, BY) if cache.xcup else (2, TXc + 2 * Hcx, TYc + 2 * Hcy),
+                    dtype,
+                ),
+                _dma_sems(3),
             ]
             if cache.dma
             else []
@@ -1306,6 +1785,21 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len):
     return xo
 
 
+def _upsample_plane(cache, xc, dtype):
+    """x_c → fine-lattice plane for the xcup kernels: one XLA k×k repeat of
+    the coarse grid, cropped to the fine domain and zero-margin padded at
+    the fine window geometry."""
+    Wx, Wy = cache.row_dims
+    Wxc, Wyc = cache.col_dims
+    TX, TY = cache.tile
+    Hfx, Hfy = cache.Hf
+    gx, gy = cache.grid
+    k = cache.k
+    XC2 = xc[: Wxc * Wyc].reshape(Wxc, Wyc).astype(dtype)
+    zc = jnp.repeat(jnp.repeat(XC2, k, axis=0), k, axis=1)[:Wx, :Wy]
+    return jnp.pad(zc, ((Hfx, Hfx + gx * TX - Wx), (Hfy, Hfy + gy * TY - Wy)))
+
+
 def _pad_plane(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
     """flat padded vector → (2Hx + gx·TX, 2Hy + gy·TY) zero-margin plane —
     the ANY-space input of the DMA-windowed kernels.  One XLA pad (memset +
@@ -1319,30 +1813,110 @@ def _dma_window(hbm, buf, sems, kop, t, num, gx, TX, TY):
     """Double-buffered halo-window fetch: at grid step ``t`` return the
     (BX, BY) window starting at (i·TX, j·TY) of the padded plane ``hbm``,
     having prefetched step ``t+1``'s window during step ``t``'s compute.
-    Requires sequential grid order (dimension_semantics 'arbitrary')."""
-    BX, BY = buf.shape[1], buf.shape[2]
+    Requires sequential grid order (dimension_semantics 'arbitrary').
 
-    def cp(tt, slot):
+    When the semaphore array carries a third axis of size P > 1
+    (AMG_DMA_SPLIT), the window is fetched as P concurrent row-range copies
+    — spreading one logical fetch across DMA engines."""
+    BX, BY = buf.shape[1], buf.shape[2]
+    P = sems.shape[2] if len(sems.shape) > 2 else 1
+
+    def cps(tt, slot):
         ii = tt % gx
         jj = tt // gx
-        return pltpu.make_async_copy(
-            hbm.at[pl.ds(ii * TX, BX), pl.ds(jj * TY, BY)],
-            buf.at[slot],
-            sems.at[kop, slot],
-        )
+        if P == 1:
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(ii * TX, BX), pl.ds(jj * TY, BY)],
+                    buf.at[slot],
+                    sems.at[kop, slot],
+                )
+            ]
+        step = -(-(-(-BX // P)) // 8) * 8  # ceil(BX/P) ceiled to 8 (sublane tiling)
+        out = []
+        for p_ in range(P):
+            r0 = p_ * step
+            r1 = min(BX, r0 + step)
+            if r0 >= r1:
+                break
+            out.append(
+                pltpu.make_async_copy(
+                    hbm.at[pl.ds(ii * TX + r0, r1 - r0), pl.ds(jj * TY, BY)],
+                    buf.at[slot, pl.ds(r0, r1 - r0)],
+                    sems.at[kop, slot, p_],
+                )
+            )
+        return out
 
     slot = t % 2
 
     @pl.when(t == 0)
     def _():
-        cp(t, slot).start()
+        for c in cps(t, slot):
+            c.start()
 
     @pl.when(t + 1 < num)
     def _():
-        cp(t + 1, 1 - slot).start()
+        for c in cps(t + 1, 1 - slot):
+            c.start()
 
-    cp(t, slot).wait()
+    for c in cps(t, slot):
+        c.wait()
     return buf[slot]
+
+
+def _dma_split():
+    return max(1, int(os.environ.get("AMG_DMA_SPLIT", "1")))
+
+
+def _dma_sems(nops):
+    P = _dma_split()
+    shape = (nops, 2) if P == 1 else (nops, 2, P)
+    return pltpu.SemaphoreType.DMA(shape)
+
+
+def _plane_store(o_hbm, obuf, osem, t, num, gx, TX, TY, Hfx, Hfy, val):
+    """Manual double-buffered output DMA: write ``val`` (TX, TY) into the
+    padded output plane at (Hfx + i·TX, Hfy + j·TY).  A slot is waited on
+    before reuse; both in-flight copies are drained on the last grid step.
+    Plane margins (and the beyond-domain overhang of edge blocks) are left
+    unwritten — consumers domain-mask their loaded windows."""
+    slot = t % 2
+
+    def cp(tt, sl):
+        ii = tt % gx
+        jj = tt // gx
+        return pltpu.make_async_copy(
+            obuf.at[sl],
+            o_hbm.at[pl.ds(Hfx + ii * TX, TX), pl.ds(Hfy + jj * TY, TY)],
+            osem.at[sl],
+        )
+
+    @pl.when(t >= 2)
+    def _():
+        cp(t - 2, slot).wait()
+
+    obuf[slot] = val
+    cp(t, slot).start()
+
+    @pl.when(t == num - 1)
+    def _():
+        cp(t, slot).wait()
+
+    @pl.when((t == num - 1) & (t >= 1))
+    def _():
+        cp(t - 1, 1 - slot).wait()
+
+
+def _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wx, Wy):
+    """Zero a loaded window outside the logical domain — reproduces the
+    zero margins of :func:`_pad_plane` bitwise, so kernels can consume
+    chained output planes whose margins were never written."""
+    BX, BY = L.shape
+    px = jax.lax.broadcasted_iota(jnp.int32, (BX, BY), 0) + (i * TX - Hfx)
+    py = jax.lax.broadcasted_iota(jnp.int32, (BX, BY), 1) + (j * TY - Hfy)
+    ok = (px >= 0) & (px < Wx) & (py >= 0) & (py < Wy)
+    return jnp.where(ok, L, jnp.zeros_like(L))
 
 
 def _any_spec():
@@ -1379,24 +1953,39 @@ def _xla_tile(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
 def _updown_kernel(
     x_ref, b_ref, *rest,
     offsA, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
-    expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0,
+    expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0, packed="",
+    xcup=False, dbg="", plane_out=False, maskx=False, Wxy=(0, 0),
 ):
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
     i = pl.program_id(1)
     j = pl.program_id(0)
-    col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
 
     wdt = x_ref.dtype
+    obuf = osem = None
     if dma:
+        if plane_out:
+            rest, obuf, osem = rest[:-2], rest[-2], rest[-1]
         rest, xbuf, bbuf, cbuf, sems = rest[:-4], rest[-4], rest[-3], rest[-2], rest[-1]
         t = j * gxs + i
         num = gxs * gys
         L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY)
         B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY)
+        if maskx:
+            L = _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wxy[0], Wxy[1])
     else:
         L = x_ref[0, 0]
         B = b_ref[0, 0]
+
+    def emit_x(Lfull):
+        if plane_out:
+            _plane_store(
+                xo_ref, obuf, osem, j * gxs + i, gxs * gys, gxs, TX, TY,
+                Hfx, Hfy, Lfull[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(wdt),
+            )
+        else:
+            xo_ref[:] = Lfull[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(xo_ref.dtype)
+
     if expand:
         tA_ref, tT_ref, tS_ref, xc_ref, xo_ref, bc_ref = rest
         A, D, T, S = _expand_ADTS(tA_ref, tT_ref, tS_ref, emeta, i, j, L.dtype)
@@ -1407,27 +1996,75 @@ def _updown_kernel(
         T = t_ref[0, 0].astype(L.dtype)
         S = s_ref[0, 0].astype(L.dtype)
     if dma:
-        XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TYc)
+        if xcup:
+            XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TX, TY)
+        else:
+            XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TYc)
     else:
         XC = xc_ref[0, 0]
 
+    if "pass" in dbg:  # anatomy probe: operand streaming only
+        emit_x(L)
+        bc_ref[:] = jnp.zeros((TXc, TYc), bc_ref.dtype)
+        return
+
     # prolong-correct (factored): corr = Tup − s⊙(A·Tup)
-    upx = jnp.repeat(XC, k, axis=0)
-    up = jnp.repeat(upx.T, k, axis=0).T
-    sx = k * Hcx - Hfx
-    sy = k * Hcy - Hfy
-    src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
-    Tup = T * src
-    corr = Tup - S * _stencil_apply(A, Tup, offsA, BX, BY)
-    L = L + corr
+    if xcup:
+        src = XC
+    else:
+        upx = jnp.repeat(XC, k, axis=0)
+        up = jnp.repeat(upx.T, k, axis=0).T
+        sx = k * Hcx - Hfx
+        sy = k * Hcy - Hfy
+        src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
+
+    if packed:
+        BX2 = BX // 2
+        Lr, Lk = _pk_pack(packed, L, BX, BY)
+        Br, Bk = _pk_pack(packed, B, BX, BY)
+        sr, sk = _pk_pack(packed, src, BX, BY)
+        Dr, Dk = D[:BX2], D[BX2:]
+        Ar = [A[kk, :BX2] for kk in range(len(offsA))]
+        Ak = [A[kk, BX2:] for kk in range(len(offsA))]
+        Tup_r, Tup_k = T[:BX2] * sr, T[BX2:] * sk
+        ar, ak = _pk_apply(packed, Tup_r, Tup_k, Ar, Ak, offsA, BX2, BY)
+        Lr = Lr + (Tup_r - S[:BX2] * ar)
+        Lk = Lk + (Tup_k - S[BX2:] * ak)
+        Lr, Lk = _pk_sweep(
+            packed, Lr, Lk, Br, Bk, Dr, Dk, Ar, Ak,
+            steps, color_grid, omega, offsA, BX2, BY,
+        )
+        Lf = _pk_unpack(packed, Lr, Lk, BX, BY)
+        emit_x(Lf)
+        yr, yk = _pk_apply(packed, Lr, Lk, Ar, Ak, offsA, BX2, BY)
+        rr, rk = Br - yr, Bk - yk
+        gr, gk = S[:BX2] * rr, S[BX2:] * rk
+        ar2, ak2 = _pk_apply(packed, gr, gk, Ar, Ak, offsA, BX2, BY)
+        tsr = T[:BX2] * (rr - ar2)
+        tsk = T[BX2:] * (rk - ak2)
+        ts = _pk_unpack(packed, tsr, tsk, BX, BY)
+        bc_ref[:] = _box_downsample(ts, Hfx, Hfy, k, TXc, TYc).astype(bc_ref.dtype)
+        return
+
+    if "nocorr" not in dbg:  # dbg knobs: kernel-anatomy probes (scratch only)
+        Tup = T * src
+        corr = Tup - S * _stencil_apply(A, Tup, offsA, BX, BY)
+        L = L + corr
 
     # postsmooth(i) then presmooth(i+1): same config (pre == post enforced);
     # ``steps`` is the concatenated double sweep with the boundary duplicate
     # collapsed at ω == 1 (see _steps2_list)
+    col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
     L = _sweep_c(L, B, D, A, col, steps, omega, offsA, BX, BY, cdt)
-    xo_ref[:] = L[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(xo_ref.dtype)
+    emit_x(L)
 
+    if "nores" in dbg:
+        bc_ref[:] = _box_downsample(B, Hfx, Hfy, k, TXc, TYc).astype(bc_ref.dtype)
+        return
     r = B - _stencil_apply(A, L, offsA, BX, BY)
+    if "norestrict" in dbg:
+        bc_ref[:] = _box_downsample(r, Hfx, Hfy, k, TXc, TYc).astype(bc_ref.dtype)
+        return
 
     # factored restriction: b_c = box-k downsample of T⊙(r − A(s⊙r))
     g = S * r
@@ -1435,7 +2072,7 @@ def _updown_kernel(
     bc_ref[:] = _box_downsample(ts, Hfx, Hfy, k, TXc, TYc).astype(bc_ref.dtype)
 
 
-def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
+def fused_updown(cache: FusedLegCache, x, b_or_bt, xc, plane_out=False):
     """(x', b_c') = down(up(x, x_c)) across the cycle boundary — one call.
 
     ``b_or_bt`` may be the flat rhs or the pre-tiled rhs from a previous
@@ -1456,14 +2093,21 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
     n = Wx * Wy
     nc = Wxc * Wyc
 
+    maskx = False
+    plane_out = bool(plane_out and cache.dma)
     if cache.dma:
-        Xt = _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        maskx = x.ndim == 2
+        Xt = x if maskx else _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
         Bt = (
             b_or_bt
             if b_or_bt.ndim == 2
             else _pad_plane(b_or_bt, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
         )
-        XCt = _pad_plane(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+        XCt = (
+            _upsample_plane(cache, xc, dtype)
+            if cache.xcup
+            else _pad_plane(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
+        )
     else:
         Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
         Bt = (
@@ -1475,6 +2119,7 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
 
     kern = functools.partial(
         _updown_kernel,
+        dbg=os.environ.get("AMG_DBG_UPDOWN", ""),
         offsA=cache.offsA,
         color_grid=cache.color_grid,
         steps=_steps2_list(
@@ -1494,6 +2139,11 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
         dma=cache.dma,
         gxs=gx,
         gys=gy,
+        packed=cache.packed,
+        xcup=cache.xcup,
+        plane_out=plane_out,
+        maskx=maskx,
+        Wxy=(Wx, Wy),
     )
     tile_spec = _any_spec() if cache.dma else _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
@@ -1509,25 +2159,41 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
             _cspec((1, 1, BX, BY), cache.cS),
         ]
         extra_ops = [cache.dinv_tiled, cache.A_tiled, cache.T_tiled, cache.S_tiled]
+    if plane_out:
+        xo_spec = _any_spec()
+        xo_shape = jax.ShapeDtypeStruct(
+            (2 * Hfx + gx * TX, 2 * Hfy + gy * TY), dtype
+        )
+    else:
+        xo_spec = _cspec((TX, TY))
+        xo_shape = jax.ShapeDtypeStruct((Wx, Wy), dtype)
     xo, bc = pl.pallas_call(
         kern,
         grid=(gy, gx),
         in_specs=[tile_spec, tile_spec] + extra_specs + [c_spec],
         out_specs=(
-            _cspec((TX, TY)),
+            xo_spec,
             _cspec((TXc, TYc)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Wx, Wy), dtype),
+            xo_shape,
             jax.ShapeDtypeStruct((Wxc, Wyc), dtype),
         ),
         scratch_shapes=(
             [
                 pltpu.VMEM((2, BX, BY), dtype),
                 pltpu.VMEM((2, BX, BY), dtype),
-                pltpu.VMEM((2, TXc + 2 * Hcx, TYc + 2 * Hcy), dtype),
-                pltpu.SemaphoreType.DMA((3, 2)),
+                pltpu.VMEM(
+                    (2, BX, BY) if cache.xcup else (2, TXc + 2 * Hcx, TYc + 2 * Hcy),
+                    dtype,
+                ),
+                _dma_sems(3),
             ]
+            + (
+                [pltpu.VMEM((2, TX, TY), dtype), pltpu.SemaphoreType.DMA((2,))]
+                if plane_out
+                else []
+            )
             if cache.dma
             else []
         ),
@@ -1540,9 +2206,12 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc):
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops, XCt)
 
-    xo = xo.reshape(n).astype(x.dtype)
-    pad = x.shape[0] - n
+    out_dtype = dtype if maskx else x.dtype
+    bc = bc.reshape(Wxc * Wyc).astype(out_dtype)
+    if plane_out:
+        return xo, bc
+    xo = xo.reshape(n).astype(out_dtype)
+    pad = x.shape[0] - n if x.ndim == 1 else 0
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
-    bc = bc.reshape(Wxc * Wyc).astype(x.dtype)
     return xo, bc

@@ -123,6 +123,59 @@ def test_dma_windows_match_tile_stacks(fused_pair):
     assert np.array_equal(outs["0"][1], outs["1"][1])
 
 
+def test_packed_sweeps_match_masked(fused_pair):
+    """Packed color-plane sweeps (cb2 checkerboard halves on 5-point levels,
+    h4 row-parity halves on 9-point levels) must be bitwise-identical to the
+    masked sweep path: same FLOPs in the same order, computed on half planes
+    instead of masked full planes."""
+    import jax.numpy as jnp
+    from algebraicmultigrid_tpu.models.device import (
+        _one_iteration,
+        build_device_hierarchy,
+        run_fixed_cycles,
+    )
+
+    N, h, h0 = fused_pair
+    ml = _ml_stash["ml"]
+    os.environ["AMG_LEG_TILE"] = "48,256"  # TX/2 sublane-aligned → packing engages
+    try:
+        outs = {}
+        modes = {}
+        for pk in ("0", "all"):
+            os.environ["AMG_PACKED_SWEEP"] = pk
+            hh = build_device_hierarchy(ml, dtype=jnp.float32)
+            modes[pk] = [L.fused.packed if L.fused else None for L in hh.levels]
+            n = N * N
+            rng = np.random.default_rng(0)
+            b = np.zeros(hh.fine_padded, np.float32)
+            b[:n] = rng.standard_normal(n)
+            x0 = jnp.zeros(hh.fine_padded, jnp.float32)
+            x1 = np.asarray(_one_iteration(hh, amg.V(), x0, jnp.asarray(b)))
+            x3 = np.asarray(run_fixed_cycles(hh, x0, jnp.asarray(b), 3))
+            outs[pk] = (x1, x3)
+    finally:
+        os.environ.pop("AMG_LEG_TILE", None)
+        os.environ.pop("AMG_PACKED_SWEEP", None)
+    assert all(m in ("", None) for m in modes["0"])
+    engaged = [m for m in modes["all"] if m]
+    assert "cb2" in engaged, f"L0 should pack cb2, got {modes['all']}"
+    import jax
+
+    if jax.default_backend() == "tpu":
+        # compiled Mosaic path: verified bitwise on TPU v5e
+        assert np.array_equal(outs["0"][0], outs["all"][0])
+        assert np.array_equal(outs["0"][1], outs["all"][1])
+    else:
+        # interpret mode: XLA:CPU contracts mul+add to FMA differently for
+        # the masked full-plane vs packed half-plane expression shapes →
+        # few-ULP deviations.  The same FLOPs-in-same-order claim holds
+        # exactly on the compiled TPU path (asserted above when available).
+        for idx in (0, 1):
+            a, bb = outs["0"][idx], outs["all"][idx]
+            scale = max(np.abs(a).max(), 1e-30)
+            assert np.abs(a - bb).max() / scale < 1e-5
+
+
 def test_bf16_coefficient_storage_converges():
     """bf16 A/P coefficient planes halve VMEM traffic; the perturbed cycle
     is still an effective preconditioner — solve_refined's f64 outer loop
