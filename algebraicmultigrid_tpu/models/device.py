@@ -1142,6 +1142,48 @@ def cg_device(
     return (xout, int(itr), float(normr)) if log else xout
 
 
+def _get_fine_f64(ml: MultiLevel):
+    """f64 device operator for the fine level — the outer-residual carrier of
+    :func:`solve_refined`.  Built (and cached) inside a scoped
+    ``jax.enable_x64`` so the global x64 flag stays off.  Returns None when
+    no gather-free f64 lowering exists (caller falls back to the host loop).
+    """
+    key = ("fine64",)
+    if key in ml._device_cache:
+        return ml._device_cache[key]
+    from .lattice import LatticeMatrix
+    from ..ops.lattice_op import lat2d_from_spec
+
+    A = ml.levels[0].A if ml.levels else ml.final_A
+    op = None
+    with jax.enable_x64(True):
+        if isinstance(A, LatticeMatrix):
+            op = lat2d_from_spec(A.spec, dtype=jnp.float64)
+        else:
+            A_csr = as_csr_cached(A)
+            op = sdia_from_csr(A_csr, dtype=jnp.float64, max_offsets=40, max_overhead=8.0)
+            if op is None and max(A_csr.shape) <= 4096:
+                op = dense_from_csr(A_csr, dtype=jnp.float64)
+        if op is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(op))
+    ml._device_cache[key] = op
+    return op
+
+
+@jax.jit
+def _refine_prep(r64, scale):
+    """rhs32 = (r64/scale) as f32 — traced under x64 (callers hold the ctx)."""
+    return (r64 / scale).astype(jnp.float32)
+
+
+@jax.jit
+def _refine_update(x64, e32, b64, A64, scale):
+    """x64 += scale·e; r64 = b64 − A·x64 (f64); returns (x64, r64, ‖r64‖)."""
+    x64 = x64 + scale * e32.astype(jnp.float64)
+    r64 = b64 - fit_len(mat_vec(A64, x64), b64.shape[0])
+    return x64, r64, jnp.linalg.norm(r64)
+
+
 def solve_refined(
     ml: MultiLevel,
     b,
@@ -1154,6 +1196,7 @@ def solve_refined(
     max_rounds: int = 4,
     dtype="float32",
     log: bool = False,
+    return_device: bool = False,
 ):
     """Mixed-precision iterative refinement: float32 AMG inner solves under
     a float64 outer residual loop.
@@ -1165,8 +1208,23 @@ def solve_refined(
         r = b − A·x            (f64, one SpMV per round)
         solve A·e ≈ r in f32   (AMG-PCG or V-cycles to ``inner_tol``)
         x ← x + e              (f64)
+
+    The outer loop runs **entirely on device** when the fine operator has a
+    gather-free f64 lowering (Lat2D/SDIA/dense — scoped ``jax.enable_x64``,
+    the global flag stays off): per round the host sees one scalar norm, no
+    O(n) transfers.  ``b`` may be a device array (skips the upload);
+    ``return_device=True`` skips the final download and returns the f64
+    device solution.  Falls back to a host outer loop (scipy f64 SpMV)
+    otherwise.
     """
     h = _get_device_hierarchy(ml, dtype)
+    A64 = _get_fine_f64(ml)
+    if A64 is not None:
+        return _solve_refined_device(
+            ml, h, A64, b, cycle, tol=tol, inner=inner, inner_tol=inner_tol,
+            inner_maxiter=inner_maxiter, max_rounds=max_rounds, log=log,
+            return_device=return_device,
+        )
     A_host = ml.levels[0].A if ml.levels else ml.final_A
     b64 = np.asarray(b, dtype=np.float64)
     n = b64.shape[0]
@@ -1191,6 +1249,47 @@ def solve_refined(
         r64 = b64 - A_host @ x64  # f64 residual on host (exact carrier)
         history.append(float(np.linalg.norm(r64)))
     return (x64, history) if log else x64
+
+
+def _solve_refined_device(
+    ml, h, A64, b, cycle, *, tol, inner, inner_tol, inner_maxiter,
+    max_rounds, log, return_device,
+):
+    """Device-resident refinement loop (see :func:`solve_refined`).
+
+    The f32 inner PCG/V-cycle jits are invoked OUTSIDE the x64 scope so they
+    hit the same compilation-cache entries as every other f32 call; only the
+    O(n) f64 prep/update steps trace under ``jax.enable_x64``."""
+    n = ml.levels[0].A.shape[0] if ml.levels else ml.final_A.shape[0]
+    with jax.enable_x64(True):
+        if isinstance(b, jax.Array) and b.dtype == jnp.float64:
+            b64 = b
+        else:
+            b64 = jnp.asarray(np.asarray(b, dtype=np.float64))
+        b64 = _pad_to(b64, h.fine_padded)
+        normb = float(jnp.linalg.norm(b64))
+        if normb == 0:
+            out = jnp.zeros_like(b64)[:n]
+            out = out if return_device else np.zeros(n, dtype=np.float64)
+            return (out, [0.0]) if log else out
+        x64 = jnp.zeros_like(b64)
+    r64 = b64
+    history = [normb]
+    for _ in range(max_rounds):
+        if history[-1] <= tol * normb:
+            break
+        scale = history[-1]
+        with jax.enable_x64(True):
+            bp = _refine_prep(r64, scale)
+        if inner == "cg":
+            e, _, _ = _pcg_fused(h, bp, inner_maxiter, inner_tol, cycle)
+        else:
+            e, _, _ = _solve_fused(h, bp, inner_maxiter, inner_tol, cycle, True)
+        with jax.enable_x64(True):
+            x64, r64, nr = _refine_update(x64, e, b64, A64, scale)
+        history.append(float(nr))
+    xout = x64[:n] if return_device else np.asarray(x64)[:n]
+    return (xout, history) if log else xout
 
 
 def solve_device(

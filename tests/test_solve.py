@@ -126,3 +126,34 @@ def test_3d_poisson_solves():
         x, res = amg.solve_mg(ml, b, reltol=1e-8, log=True)
         assert np.linalg.norm(b - A @ x) <= 1e-8 * np.linalg.norm(b) * 1.01
         assert np.abs(x - 1).max() < 1e-6
+
+
+def test_solve_refined_device_outer_loop():
+    """Device-resident iterative refinement (scoped x64): matches the host
+    outer loop, accepts a device-resident b, and can return the f64 device
+    solution without a download — the serving-path contract bench.py times."""
+    import jax
+    import jax.numpy as jnp
+
+    from algebraicmultigrid_tpu.models.device import _get_fine_f64, solve_refined
+
+    N = 64
+    LP = amg.poisson((N, N), lattice=True)
+    ml = amg.structured_smoothed_aggregation(
+        LP, proxy=32, cut_rows=2000, min_proxy_dim=16,
+        aggregate=amg.StructuredAggregation(box=3),
+    )
+    n = N * N
+    b = np.random.default_rng(5).standard_normal(n)
+    assert _get_fine_f64(ml) is not None  # device outer loop engages
+
+    x, hist = solve_refined(ml, b, tol=1e-10, log=True)
+    A = ml.levels[0].A
+    assert np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b) < 1e-10
+
+    with jax.enable_x64(True):
+        bd = jnp.asarray(b)
+    xd, hist_d = solve_refined(ml, bd, tol=1e-10, log=True, return_device=True)
+    assert isinstance(xd, jax.Array) and xd.dtype == jnp.float64
+    assert np.allclose(np.asarray(xd), x, rtol=0, atol=0)  # identical loop
+    assert hist_d == hist
