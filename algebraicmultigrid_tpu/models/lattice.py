@@ -321,8 +321,11 @@ def extract_spec(
     tiny grids, whose every position can be its own boundary class, still
     extract.
     """
-    M = sp.csr_matrix(M).copy()
-    M.eliminate_zeros()  # cancellation zeros from SpGEMM would break nnz checks
+    M = sp.csr_matrix(M)
+    if M.nnz and np.count_nonzero(M.data) != M.nnz:
+        # cancellation zeros from SpGEMM would break nnz checks
+        M = M.copy()
+        M.eliminate_zeros()
     M.sort_indices()
     WxR, WyR = row_dims
     WxC, WyC = col_dims
@@ -343,12 +346,33 @@ def extract_spec(
     dx = jx - (ix * base_x[0]) // base_x[1]
     dy = jy - (iy * base_y[0]) // base_y[1]
 
-    # offset vocabulary
-    dmax_x = int(np.abs(dx).max())
-    dmax_y = int(np.abs(dy).max())
-    offs = np.unique(np.stack([dx, dy], axis=1), axis=0)
-    if len(offs) > max_offsets:
+    # offset vocabulary + per-entry offset key in ONE unique pass over packed
+    # int64 keys (np.unique with axis= sorts structured views — ~10× slower;
+    # and the key is (Kx, sx)-independent, so hoisting it out of _try_extract
+    # removes a per-candidate O(nnz) pass)
+    packed = dx.astype(np.int64) * (1 << 32) + (dy.astype(np.int64) + (1 << 31))
+    # vocabulary from a sample + searchsorted keys: O(nnz·log n_off) instead
+    # of a full O(nnz·log nnz) sort.  A lattice operator's few boundary-only
+    # offsets all appear within the first few rows' worth of entries and in
+    # the strided probe; if the sample missed one, the membership check fails
+    # and the full unique runs.
+    nnz = packed.shape[0]
+    if nnz > 200_000:
+        probe = np.concatenate([packed[:65536], packed[:: max(1, nnz // 65536)]])
+        uniq = np.unique(probe)
+        kidx = np.searchsorted(uniq, packed)
+        np.minimum(kidx, len(uniq) - 1, out=kidx)
+        if not np.array_equal(uniq[kidx], packed):
+            uniq, kidx = np.unique(packed, return_inverse=True)
+    else:
+        uniq, kidx = np.unique(packed, return_inverse=True)
+    if len(uniq) > max_offsets:
         return None
+    offs_dx = np.floor_divide(uniq, 1 << 32)  # signed-lex order == unique(axis=0)
+    offs_dy = (uniq - offs_dx * (1 << 32)) - (1 << 31)
+    offs = np.stack([offs_dx, offs_dy], axis=1)
+    dmax_x = int(np.abs(offs_dx).max())
+    dmax_y = int(np.abs(offs_dy).max())
 
     # Interior periods: 2 for red-black-type parities, 3 for box aggregation,
     # products for mixes.  Boundary margins K escalate: candidate-improvement
@@ -381,7 +405,7 @@ def extract_spec(
             if 2 * Kx + sx > WxR or 2 * Ky + sy > WyR:
                 continue
             spec = _try_extract(
-                M, rows, ix, iy, dx, dy, offs, row_dims, col_dims, Kx, sx, Ky, sy,
+                M, kidx, ix, iy, offs, row_dims, col_dims, Kx, sx, Ky, sy,
                 base_x, base_y,
             )
             if spec is None:
@@ -398,34 +422,30 @@ def extract_spec(
 
 
 def _try_extract(
-    M, rows, ix, iy, dx, dy, offs, row_dims, col_dims, Kx, sx, Ky, sy, base_x, base_y
+    M, kidx, ix, iy, offs, row_dims, col_dims, Kx, sx, Ky, sy, base_x, base_y
 ):
     n_off = len(offs)
     nxc = n_axis_classes(Kx, sx)
     nyc = n_axis_classes(Ky, sy)
     WxR, WyR = row_dims
 
-    # offset key per entry
-    key = {(int(a), int(b)): k for k, (a, b) in enumerate(offs)}
-    kidx = np.array([key[(int(a), int(b))] for a, b in zip(dx, dy)], dtype=np.int64)
+    if np.iscomplexobj(M.data):
+        return None  # complex lattices unsupported (SA complex errors anyway)
+    vals = M.data
 
     cxe = axis_classes(ix, WxR, Kx, sx)
     cye = axis_classes(iy, WyR, Ky, sy)
     flat = (kidx * nxc + cxe) * nyc + cye
 
+    # same-class consistency: scatter one representative per cell (last write
+    # wins), then every entry must equal its cell's representative — two
+    # vectorised passes instead of the (slow) ufunc-.at min/max reductions
     table = np.zeros(n_off * nxc * nyc, dtype=M.data.dtype)
-    lo = np.full(n_off * nxc * nyc, np.inf)
-    hi = np.full(n_off * nxc * nyc, -np.inf)
-    vals = M.data.astype(np.float64, copy=False) if not np.iscomplexobj(M.data) else None
-    if vals is None:
-        return None  # complex lattices unsupported (SA complex errors anyway)
-    np.minimum.at(lo, flat, vals)
-    np.maximum.at(hi, flat, vals)
+    table[flat] = vals
+    if not np.array_equal(table[flat], vals):
+        return None
     seen = np.zeros(n_off * nxc * nyc, dtype=bool)
     seen[flat] = True
-    # same-class consistency: every seen cell has a single value
-    if np.any(seen & (hi != lo)):
-        return None
 
     # occupancy consistency: within a class, either all rows have the entry
     # or none do.  Count rows per (class pair) and entries per cell.
@@ -438,7 +458,6 @@ def _try_extract(
     if not ok.all():
         return None
 
-    table[seen] = lo[seen]
     table = table.reshape(n_off, nxc, nyc)
     return LatticeSpec(
         offsets=tuple((int(a), int(b)) for a, b in offs),

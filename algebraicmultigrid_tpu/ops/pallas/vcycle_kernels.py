@@ -319,10 +319,12 @@ def build_fused_leg_cache(
     # the VMEM loop below shrinks TX to fit.  AMG_LEG_TILE="tx,ty" overrides
     # the targets (tests use small tiles to exercise multi-tile grids and
     # the representative-tile compaction on small problems).
-    # measured on TPU v5e at 4096² (AMG_LEG_TILE sweep): (240, 1536) beats
-    # (240, 768) 153.6 vs 150.0 Gnnz/s — the y-halo is lane-alignment-fixed
-    # at 64 per side, so a wider tile halves its share of the VPU work
-    tx_t, ty_t = 240, 1536
+    # measured on TPU v5e at 4096² (AMG_LEG_TILE sweeps): (240, 1536) beats
+    # (240, 768) 153.6 vs 150.0 Gnnz/s — the y-halo is lane-alignment-fixed,
+    # so a wider tile halves its share of the VPU work.  Round-3 re-sweep on
+    # the packed/plane-chained kernels: TX 360 best (updown 2.223 ms vs 2.318
+    # at 240; 384+ regress — VMEM pressure), needs the 72 MB budget below.
+    tx_t, ty_t = 360, 1536
     _tt = os.environ.get("AMG_LEG_TILE")
     if _tt:
         tx_t, ty_t = (int(v) for v in _tt.split(","))
@@ -487,9 +489,10 @@ def build_fused_leg_cache(
         )
         return ops + tmp
 
-    # 48 MB default (compiler cap is 100): measured at 4096² — TX 240 at
-    # vm=48 beats the 24 MB budget's TX 168 (2.279 vs 2.309 ms/updown)
-    budget = int(os.environ.get("AMG_LEG_VMEM_MB", 48)) * 2**20
+    # 72 MB default (compiler cap is ~107): fits the TX=360 default tile.
+    # The vmem_need estimate runs ~10% under Mosaic's actual near the cap
+    # (measured OOMs at estimated 96/84 MB budgets) — keep ≥30% headroom.
+    budget = int(os.environ.get("AMG_LEG_VMEM_MB", 72)) * 2**20
     # packed candidates shrink at the packing granularity (TX/2 must stay a
     # sublane multiple) so the VMEM fit can't silently strand the tile on a
     # non-packable size
