@@ -227,7 +227,6 @@ def build_fused_tail_cache(
     or the VMEM budget."""
     from ...config import GaussSeidel, SOR, SymmetricSweep
     from ...models.lattice import lattice_coloring
-    from ..lattice_op import expand_planes_device
 
     if max_rows is None:
         max_rows = int(os.environ.get("AMG_TAIL_MAX_ROWS", 250_000))
@@ -288,12 +287,23 @@ def build_fused_tail_cache(
 
         omega = float(cfg.omega) if isinstance(cfg, SOR) else 1.0
         steps = _steps_list(n_colors, cfg.iter, True, True, omega)
-        comp = jnp.float64 if jnp.dtype(dtype).itemsize == 8 else jnp.float32
 
         # factored form when the SA setup stashed a single-offset T + scale
         specT = _factored_spec(level, k, dims, cdims)
         pS = _scale_plane(level, dims, npdt) if specT is not None else None
         factored = specT is not None and pS is not None
+
+        # Tail levels are small (≤ max_rows), so all plane assembly runs in
+        # numpy with ONE device upload per array — eager jnp pads/casts here
+        # previously dispatched ~8 tiny unpersisted XLA compiles per level
+        # (~20 s per process at 4096², measured).
+        np_coef = np.dtype(jnp.dtype(coef_dtype).name) if jnp.dtype(coef_dtype) != jnp.bfloat16 else jnp.bfloat16
+        np_comp = np.float64 if jnp.dtype(dtype).itemsize == 8 else np.float32
+
+        def pad_np_planes(planes, bx):
+            n_p, Wx_, Wy_ = planes.shape
+            Bx_, By_ = bx
+            return np.pad(planes, ((0, 0), (_H, Bx_ - Wx_ - _H), (_H, By_ - Wy_ - _H)))
 
         dummy = jnp.zeros((1, 1), dtype=jnp.dtype(coef_dtype))
         if factored:
@@ -304,33 +314,33 @@ def build_fused_tail_cache(
             UPy, idxPy = _sel_stack([0], box[1], cbox[1], cdims[1], k, "P", npdt)
             idxT = specT.offsets.index((0, 0))
             pT = specT.expand(idxT, dtype=npdt)
-            Tp = jnp.asarray(
-                np.asarray(_pad_np(pT, box)), dtype=jnp.dtype(coef_dtype)
-            )
-            Sp = jnp.asarray(
-                np.asarray(_pad_np(pS, box)), dtype=jnp.dtype(coef_dtype)
-            )
+            Tp = jnp.asarray(np.asarray(_pad_np(pT, box), dtype=np_coef))
+            Sp = jnp.asarray(np.asarray(_pad_np(pS, box), dtype=np_coef))
             Rp = Pp = dummy
         else:
             SRx, idxRx = _sel_stack([d for d, _ in sR.offsets], box[0], cbox[0], cdims[0], k, "R", npdt)
             SRy, idxRy = _sel_stack([d for _, d in sR.offsets], box[1], cbox[1], cdims[1], k, "R", npdt)
             UPx, idxPx = _sel_stack([d for d, _ in sP.offsets], box[0], cbox[0], cdims[0], k, "P", npdt)
             UPy, idxPy = _sel_stack([d for _, d in sP.offsets], box[1], cbox[1], cdims[1], k, "P", npdt)
-            Rp = _pad_planes(expand_planes_device(sR, dtype), cbox)
-            Pp = _pad_planes(expand_planes_device(sP, comp), box).astype(coef_dtype)
+            Rp = jnp.asarray(
+                pad_np_planes(sR.expand_all(dtype=np.dtype(jnp.dtype(dtype).name)), cbox)
+            )
+            Pp = jnp.asarray(
+                pad_np_planes(sP.expand_all(dtype=np_comp), box).astype(np_coef)
+            )
             Tp = Sp = dummy
 
-        A_planes = _pad_planes(expand_planes_device(sA, comp), box)
+        A_np = pad_np_planes(sA.expand_all(dtype=np_comp), box)
         diag = None
         for kk, (dx, dy) in enumerate(sA.offsets):
             if (dx, dy) == (0, 0):
-                diag = A_planes[kk]
+                diag = A_np[kk]
         if diag is None:
-            diag = jnp.zeros(box, comp)
-        dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 0.0)
+            diag = np.zeros(box, np_comp)
+        dinv = np.where(diag != 0, 1.0 / np.where(diag != 0, diag, 1.0), 0.0)
 
-        arrs["A"].append(A_planes.astype(coef_dtype))
-        arrs["dinv"].append(dinv.astype(dtype))
+        arrs["A"].append(jnp.asarray(A_np.astype(np_coef)))
+        arrs["dinv"].append(jnp.asarray(dinv.astype(np.dtype(jnp.dtype(dtype).name))))
         arrs["Rp"].append(Rp)
         arrs["SRx"].append(jnp.asarray(SRx))
         arrs["SRy"].append(jnp.asarray(SRy))
@@ -376,10 +386,11 @@ def build_fused_tail_cache(
     else:
         Mc = np.linalg.pinv(np.asarray(ml.final_A.toarray()))
     B7 = _round_box(W7x, W7y)
-    G = jnp.asarray(
-        np.ascontiguousarray(Mc.T.reshape(n7, W7x, W7y).astype(npdt))
+    G_np = np.ascontiguousarray(Mc.T.reshape(n7, W7x, W7y).astype(npdt))
+    G_np = np.pad(
+        G_np, ((0, 0), (_H, B7[0] - W7x - _H), (_H, B7[1] - W7y - _H))
     )
-    G = _pad_planes(G, B7)
+    G = jnp.asarray(G_np)
 
     # VMEM audit: operands once + ~6 fine-plane temporaries per live level;
     # grid=() runs a single step so there is no double-buffering multiplier.

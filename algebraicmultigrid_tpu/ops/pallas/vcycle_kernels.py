@@ -243,20 +243,38 @@ def _compact_take(arr, c, gx, gy):
     return arr
 
 
+def _compact_take_traced(arr, c):
+    """Traced :func:`_compact_take`: the interior-run drop is two contiguous
+    slices + concat per axis (no gathers; runs inside the builder jits so the
+    whole build is ONE persisted compile instead of per-run eager dispatches)."""
+    if c is None:
+        return arr
+    ax, ay = c
+    if ax is not None:
+        lo, hi = ax
+        arr = jnp.concatenate([arr[: lo + 1], arr[hi + 1 :]], axis=0)
+    if ay is not None:
+        lo, hi = ay
+        arr = jnp.concatenate([arr[:, : lo + 1], arr[:, hi + 1 :]], axis=1)
+    return arr
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "gx", "gy", "TX", "TY", "Hfx", "Hfy", "TXc", "TYc",
-        "diag_idx", "dtype_name", "coef_name",
+        "diag_idx", "dtype_name", "coef_name", "cA", "cP", "cR",
     ),
 )
 def _build_tiles_jit(
     TA, cxA, cyA, TR, cxR, cyR, TP, cxP, cyP, *,
     gx, gy, TX, TY, Hfx, Hfy, TXc, TYc, diag_idx, dtype_name, coef_name,
+    cA=None, cP=None, cR=None,
 ):
     """Expand the class tables to planes ON DEVICE (one-hot MXU matmuls —
-    exact selection, see ops/lattice_op.expand_planes_device) and pre-tile
-    them for the leg kernels, all in one compiled program."""
+    exact selection, see ops/lattice_op.expand_planes_device), pre-tile them
+    for the leg kernels, and apply representative-tile compaction — all in
+    one compiled (and disk-persisted) program."""
     dt = jnp.dtype(dtype_name)
     ct = jnp.dtype(coef_name)
 
@@ -287,6 +305,10 @@ def _build_tiles_jit(
     ).astype(ct)
     pP = planes(TP, cxP, cyP)
     P_tiled = jnp.moveaxis(jax.vmap(tile_f)(pP), 0, 2).astype(ct)
+    A_tiled = _compact_take_traced(A_tiled, cA)
+    dinv_tiled = _compact_take_traced(dinv_tiled, cA)
+    P_tiled = _compact_take_traced(P_tiled, cP)
+    R_tiled = _compact_take_traced(R_tiled, cR)
     return A_tiled, dinv_tiled, R_tiled, P_tiled
 
 
@@ -517,6 +539,40 @@ def build_fused_leg_cache(
         or os.environ.get("AMG_HOST_EXPAND") == "1"
     )
 
+    # packed-sweep + representative-tile-compaction decisions are pure
+    # functions of the specs and the final tile shape — computed BEFORE the
+    # expansion so the device builders apply them inside their (persisted)
+    # jits; the host/debug paths apply the same transforms eagerly below
+    packed = (
+        packed_cand
+        if (
+            factored
+            and not expand_ik
+            and TX % 2 == 0
+            and (TX // 2) % 8 == 0
+            and Hfx % 8 == 0
+        )
+        else ""
+    )
+    cA = cT = cS = cP = cR = None
+    if not expand_ik and os.environ.get("AMG_TILE_COMPACT", "") != "0":
+        class _C:
+            def __init__(self, K_x, s_x, K_y, s_y, dims):
+                self.Kx, self.sx, self.Ky, self.sy = K_x, s_x, K_y, s_y
+                self.row_dims = dims
+
+        cA = _compact_pair(specA, TX, TY, Hfx, Hfy, gx, gy)
+        if factored:
+            cT = _compact_pair(specT, TX, TY, Hfx, Hfy, gx, gy, Wx, Wy)
+            if isinstance(scale_info, tuple) and scale_info[0] == "table":
+                KxS, sxS, KyS, syS = scale_info[2]
+                cS = _compact_pair(
+                    _C(KxS, sxS, KyS, syS, (Wx, Wy)), TX, TY, Hfx, Hfy, gx, gy
+                )
+        else:
+            cP = _compact_pair(specP, TX, TY, Hfx, Hfy, gx, gy, Wx, Wy)
+            cR = _compact_pair(specR, TXc, TYc, 0, 0, gx, gy, Wxc, Wyc)
+
     # scale plane inputs: either a boundary-classed table (extrapolated) or a
     # full-size vector (latticified tail levels) — both become (tbl, cx, cy)
     # selector inputs for the one-hot device expansion
@@ -577,6 +633,14 @@ def build_fused_leg_cache(
                 _tile_with_halo(pS, gx, gy, TX, TY, Hfx, Hfy), dtype=coef_dtype
             )
             R_tiled = P_tiled = jnp.zeros((0,), dtype=coef_dtype)
+            if packed:
+                _pk = _pack_concat_dev if packed == "cb2" else _pack_concat_h_dev
+                A_tiled, dinv_tiled = _pk(A_tiled), _pk(dinv_tiled)
+                T_tiled, S_tiled = _pk(T_tiled), _pk(S_tiled)
+            A_tiled = _compact_take(A_tiled, cA, gx, gy)
+            dinv_tiled = _compact_take(dinv_tiled, cA, gx, gy)
+            T_tiled = _compact_take(T_tiled, cT, gx, gy)
+            S_tiled = _compact_take(S_tiled, cS, gx, gy)
         else:
             R_tiled = np.zeros((gx, gy, nR, TXc, TYc), dtype=cnp)
             for kk in range(nR):
@@ -586,6 +650,10 @@ def build_fused_leg_cache(
                 P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
             R_tiled = jnp.asarray(R_tiled, dtype=coef_dtype)
             P_tiled = jnp.asarray(P_tiled, dtype=coef_dtype)
+            A_tiled = _compact_take(A_tiled, cA, gx, gy)
+            dinv_tiled = _compact_take(dinv_tiled, cA, gx, gy)
+            P_tiled = _compact_take(P_tiled, cP, gx, gy)
+            R_tiled = _compact_take(R_tiled, cR, gx, gy)
     else:
         # device-side expansion + tiling: upload only the O(K+s) tables and
         # O(W) class vectors — the O(n) host memset and the full-plane
@@ -611,6 +679,7 @@ def build_fused_leg_cache(
                 diag_idx=diag_idx,
                 dtype_name=jnp.dtype(dtype).name,
                 coef_name=jnp.dtype(coef_dtype).name,
+                pack=packed, cA=cA, cT=cT, cS=cS,
             )
             R_tiled = P_tiled = jnp.zeros((0,), dtype=coef_dtype)
         else:
@@ -627,55 +696,8 @@ def build_fused_leg_cache(
                 diag_idx=diag_idx,
                 dtype_name=jnp.dtype(dtype).name,
                 coef_name=jnp.dtype(coef_dtype).name,
+                cA=cA, cP=cP, cR=cR,
             )
-
-    # packed-sweep finalisation: the VMEM loop may have shrunk TX, so the
-    # half-plane sublane alignment is re-checked on the final tile shape
-    packed = (
-        packed_cand
-        if (
-            factored
-            and not expand_ik
-            and TX % 2 == 0
-            and (TX // 2) % 8 == 0
-            and Hfx % 8 == 0
-        )
-        else ""
-    )
-    if packed:
-        _pk = _pack_concat_dev if packed == "cb2" else _pack_concat_h_dev
-        A_tiled = _pk(A_tiled)
-        dinv_tiled = _pk(dinv_tiled)
-        T_tiled = _pk(T_tiled)
-        S_tiled = _pk(S_tiled)
-
-    # representative-tile compaction (see FusedLegCache.cA doc): compute the
-    # per-operand interior runs and shrink the stored tiled arrays; the
-    # kernels' index maps send interior tiles to the representative block
-    cA = cT = cS = cP = cR = None
-    if not expand_ik and os.environ.get("AMG_TILE_COMPACT", "") != "0":
-        class _C:
-            def __init__(self, K_x, s_x, K_y, s_y, dims):
-                self.Kx, self.sx, self.Ky, self.sy = K_x, s_x, K_y, s_y
-                self.row_dims = dims
-
-        cA = _compact_pair(specA, TX, TY, Hfx, Hfy, gx, gy)
-        A_tiled = _compact_take(A_tiled, cA, gx, gy)
-        dinv_tiled = _compact_take(dinv_tiled, cA, gx, gy)
-        if factored:
-            cT = _compact_pair(specT, TX, TY, Hfx, Hfy, gx, gy, Wx, Wy)
-            T_tiled = _compact_take(T_tiled, cT, gx, gy)
-            if isinstance(scale_info, tuple) and scale_info[0] == "table":
-                KxS, sxS, KyS, syS = scale_info[2]
-                cS = _compact_pair(
-                    _C(KxS, sxS, KyS, syS, (Wx, Wy)), TX, TY, Hfx, Hfy, gx, gy
-                )
-                S_tiled = _compact_take(S_tiled, cS, gx, gy)
-        else:
-            cP = _compact_pair(specP, TX, TY, Hfx, Hfy, gx, gy, Wx, Wy)
-            P_tiled = _compact_take(P_tiled, cP, gx, gy)
-            cR = _compact_pair(specR, TXc, TYc, 0, 0, gx, gy, Wxc, Wyc)
-            R_tiled = _compact_take(R_tiled, cR, gx, gy)
 
     dma_flag = os.environ.get("AMG_DMA_TILE", "1") != "0" and not expand_ik
     return FusedLegCache(
@@ -740,16 +762,21 @@ def build_fused_leg_cache(
     jax.jit,
     static_argnames=(
         "gx", "gy", "TX", "TY", "Hfx", "Hfy", "diag_idx", "dtype_name",
-        "coef_name",
+        "coef_name", "pack", "cA", "cT", "cS",
     ),
 )
 def _build_tiles_factored_jit(
     TA, cxA, cyA, TT, cxT, cyT, TS, cxS, cyS, *,
     gx, gy, TX, TY, Hfx, Hfy, diag_idx, dtype_name, coef_name,
+    pack="", cA=None, cT=None, cS=None,
 ):
     """Device-side expansion for the factored legs: A stencil planes + dinv
     plus the single-offset tentative-prolongator plane T and the ω·D̃⁻¹
-    scale plane s (one-hot MXU selection, exact at HIGHEST precision)."""
+    scale plane s (one-hot MXU selection, exact at HIGHEST precision).
+    Packed-sweep coefficient packing and representative-tile compaction run
+    inside the same jit — the whole per-level build is ONE persisted compile
+    (post-passes as eager ops cost ~15 s of tiny unpersisted compiles per
+    level per process, measured)."""
     dt = jnp.dtype(dtype_name)
     ct = jnp.dtype(coef_name)
 
@@ -777,6 +804,14 @@ def _build_tiles_factored_jit(
 
     T_tiled = tile_f(plane2(TT, cxT, cyT)).astype(ct)
     S_tiled = tile_f(plane2(TS, cxS, cyS)).astype(ct)
+    if pack:
+        _pk = _pack_concat_dev if pack == "cb2" else _pack_concat_h_dev
+        A_tiled, dinv_tiled = _pk(A_tiled), _pk(dinv_tiled)
+        T_tiled, S_tiled = _pk(T_tiled), _pk(S_tiled)
+    A_tiled = _compact_take_traced(A_tiled, cA)
+    dinv_tiled = _compact_take_traced(dinv_tiled, cA)
+    T_tiled = _compact_take_traced(T_tiled, cT)
+    S_tiled = _compact_take_traced(S_tiled, cS)
     return A_tiled, dinv_tiled, T_tiled, S_tiled
 
 

@@ -48,7 +48,10 @@ def main():
 
     try:
         jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # persist even small executables: hierarchy lowering dispatches many
+        # ~1-4 s builder/smoother-cache compiles that would otherwise re-run
+        # every process
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
 
