@@ -997,11 +997,17 @@ def run_fixed_cycles(h: DeviceHierarchy, x, b, n_cycles: int):
             xf, bc2 = fused_updown(fused, xf, bt, xc, plane_out=plane)
         return (xf, fit_len(bc2, n_next)), None
 
-    # scan with unroll: the while-loop boundary copies the 67+ MB carry into
-    # its fixed slots every iteration (profiled at ~0.2 ms/cycle); unrolling
-    # 4 cycles per while step amortises it 4×
+    # scan unroll trades the while-loop boundary's carry copy (the ~74 MB
+    # x plane re-written into its fixed slot every iteration — measured
+    # ~0.15 ms/cycle) against one-time program-load cost: every unrolled
+    # copy duplicates the fused kernels' machine code in the executable
+    # (~53 MB/cycle of Mosaic binary), and program load is catastrophically
+    # superlinear in executable size on this stack (59 MB loads in ~5 s,
+    # 112 MB in ~220 s, 217 MB in ~750 s — measured, see PERF.md).  Default
+    # unroll=1: first execution ~5 s at a ~4.5% cycle-time cost.
     (xf, bc), _ = jax.lax.scan(
-        body, (xf, bc), None, length=n_cycles - 1, unroll=4
+        body, (xf, bc), None, length=n_cycles - 1,
+        unroll=int(os.environ.get("AMG_SCAN_UNROLL", "1")),
     )
     xc = _subsolve(h, bc, 1)
     with jax.named_scope("L0/up"):

@@ -93,6 +93,18 @@ def main():
     ml._device_cache[("hierarchy", jnp.dtype(dtype).name)] = h
     t_lower = time.time() - t0
 
+    # disable the persistent cache for the BIG programs (the 100-cycle loop
+    # and the PCG while-loop): executables deserialized from the cache pay a
+    # pathological first-execution load on the axon tunnel (~530 s for the
+    # 59 MB cycle program vs ~5 s when compiled in-process — measured,
+    # PERF.md); a fresh ~85 s compile is strictly faster, and not writing
+    # them keeps later processes off the deserialize path too.  The many
+    # small builder/smoother-cache executables above still use the cache.
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:
+        pass
+
     b_host = A @ np.ones(n)
     b = np.zeros(h.fine_padded, dtype=dtype)
     b[:n] = b_host.astype(dtype)
