@@ -826,8 +826,14 @@ def _coarse_solve(coarse: CoarseCache, b):
     return x
 
 
-def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
+def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int, x_zero: bool = False):
     """One cycle at level lvl — structure of multilevel.jl:214-239.
+
+    ``x_zero`` marks x as the zero vector (coarse-level recursion always
+    starts from the zero guess, multilevel.jl:225): the fused down leg then
+    skips its x fetch and sparsifies the early sweep steps (exact up to
+    graph-shape-dependent XLA multiply-add contraction —
+    vcycle_kernels._steps_live_offsets).
 
     Phases carry ``jax.named_scope`` annotations (the TPU equivalent of the
     reference's @timeit_debug phase timers, survey §5.1) so xprof/profiler
@@ -857,7 +863,7 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
         from ..ops.pallas.tail_kernel import fused_tail
 
         with jax.named_scope(f"L{lvl}/fused_tail"):
-            return fused_tail(h.tail, x, b)
+            return fused_tail(h.tail, x, b, x_zero=x_zero)
 
     if level.fused is not None and x.ndim == 1:
         # fused Pallas legs: (presmooth + residual + restrict) down, then
@@ -871,14 +877,16 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
             # DMA caches chain x down→up as a padded PLANE written by
             # in-kernel output DMA (no XLA pad/reshape between the legs);
             # BlockSpec caches hand off in tiled halo-block form
-            xt, coarse_b, bt = fused_down(level.fused, x, b, tiled=True)
+            xt, coarse_b, bt = fused_down(
+                level.fused, x, b, tiled=True, x_zero=x_zero
+            )
             coarse_b = fit_len(coarse_b, n_next)
         if lvl == len(h.levels) - 1:
             with jax.named_scope("coarse_solve"):
                 coarse_x = _coarse_solve(h.coarse, coarse_b)
         else:
             coarse_x = jnp.zeros_like(coarse_b)
-            coarse_x = _next(h, cycle, coarse_x, coarse_b, lvl + 1)
+            coarse_x = _next(h, cycle, coarse_x, coarse_b, lvl + 1, x_zero=True)
         with jax.named_scope(f"L{lvl}/up"):
             if getattr(level.fused, "dma", False):
                 x = fused_up(level.fused, xt, bt, coarse_x, out_len=x.shape[0])
@@ -899,7 +907,7 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
             coarse_x = _coarse_solve(h.coarse, coarse_b)
     else:
         coarse_x = jnp.zeros_like(coarse_b)
-        coarse_x = _next(h, cycle, coarse_x, coarse_b, lvl + 1)
+        coarse_x = _next(h, cycle, coarse_x, coarse_b, lvl + 1, x_zero=True)
 
     with jax.named_scope(f"L{lvl}/prolong"):
         x = x + fit_len(mat_vec(level.P, coarse_x), n_here)
@@ -908,14 +916,14 @@ def _cycle(h: DeviceHierarchy, cycle: Cycle, x, b, lvl: int):
     return x
 
 
-def _next(h, cycle, x, b, lvl):
+def _next(h, cycle, x, b, lvl, x_zero: bool = False):
     if isinstance(cycle, V):
-        return _cycle(h, cycle, x, b, lvl)
+        return _cycle(h, cycle, x, b, lvl, x_zero=x_zero)
     if isinstance(cycle, W):
-        x = _cycle(h, cycle, x, b, lvl)
+        x = _cycle(h, cycle, x, b, lvl, x_zero=x_zero)
         return _cycle(h, cycle, x, b, lvl)
     if isinstance(cycle, F):
-        x = _cycle(h, cycle, x, b, lvl)
+        x = _cycle(h, cycle, x, b, lvl, x_zero=x_zero)
         return _cycle(h, V(), x, b, lvl)
     raise TypeError(f"unknown cycle {cycle!r}")
 
@@ -930,7 +938,7 @@ def _subsolve(h: DeviceHierarchy, coarse_b, lvl: int):
     """One V-cycle from zero on the sub-hierarchy below ``lvl−1``."""
     if lvl >= len(h.levels):
         return _coarse_solve(h.coarse, coarse_b)
-    return _cycle(h, V(), jnp.zeros_like(coarse_b), coarse_b, lvl)
+    return _cycle(h, V(), jnp.zeros_like(coarse_b), coarse_b, lvl, x_zero=True)
 
 
 def run_fixed_cycles(h: DeviceHierarchy, x, b, n_cycles: int):
@@ -982,8 +990,10 @@ def run_fixed_cycles(h: DeviceHierarchy, x, b, n_cycles: int):
     else:
         with jax.named_scope("L0/down"):
             xf, bc = fused_down(fused, x, b)
+        # BlockSpec tiles carry the kernels' LOAD halo (Hly ≤ Hf[1])
         bt = _xla_tile(
-            b, Wx * Wy, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, fused.dinv_tiled.dtype
+            b, Wx * Wy, Wx, Wy, gx, gy, TX, TY, Hfx,
+            getattr(fused, "Hly", 0) or Hfy, fused.dinv_tiled.dtype
         )
         b_up = b
     bc = fit_len(bc, n_next)

@@ -49,7 +49,9 @@ from .tail_kernel import (
     _tail_go,
     build_fused_tail_cache,
 )
-from .vcycle_kernels import _steps_list, _stencil_apply, _sweep, _tile_plane
+from .vcycle_kernels import (
+    _steps_list, _steps_live_offsets, _stencil_apply, _sweep, _tile_plane,
+)
 
 __all__ = ["FusedSubcycleCache", "build_fused_subcycle_cache", "fused_subcycle"]
 
@@ -333,7 +335,11 @@ def _subcycle_kernel(*refs, meta, tail_metas, tail_dims7):
         S = s1_ref[0].astype(B.dtype)
         col = _color_slab(p, TX1, H1, B1x, By1, color_grid)
 
-        L = _sweep(jnp.zeros_like(B), B, D, A, col, steps, omega, offsA, B1x, By1)
+        live = _steps_live_offsets(steps, color_grid, offsA)
+        L = _sweep(
+            jnp.zeros_like(B), B, D, A, col, steps, omega, offsA, B1x, By1,
+            live=live,
+        )
         xmid[pl.ds(p * TX1 + H1, TX1), :] = L[H1 : H1 + TX1, :]
 
         r = B - _stencil_apply(A, L, offsA, B1x, By1)
@@ -356,7 +362,7 @@ def _subcycle_kernel(*refs, meta, tail_metas, tail_dims7):
         bc2 = bc2s[0:C2x, :]
         xc2 = _tail_go(
             tail_per, g_ref, tail_metas, tail_dims7,
-            jnp.zeros_like(bc2), bc2,
+            jnp.zeros_like(bc2), bc2, x_zero=True,
         )
         xc2s[0:C2x, :] = xc2
 

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .vcycle_kernels import _steps_list, _sweep
+from .vcycle_kernels import _steps_list, _steps_live_offsets, _sweep
 
 __all__ = ["FusedTailCache", "build_fused_tail_cache", "fused_tail"]
 
@@ -448,18 +448,26 @@ def _sel(m, A, B):  # exact one-hot copy matmul
     ).astype(m)
 
 
-def _tail_kernel(*refs, metas, dims7):
+def _tail_kernel(*refs, metas, dims7, x_zero=False):
     n_lvl = len(metas)
     x_ref, b_ref = refs[0], refs[1]
     per = refs[2 : 2 + 10 * n_lvl]
     g_ref = refs[2 + 10 * n_lvl]
     out_ref = refs[2 + 10 * n_lvl + 1]
-    out_ref[...] = _tail_go(per, g_ref, metas, dims7, x_ref[...], b_ref[...])
+    out_ref[...] = _tail_go(
+        per, g_ref, metas, dims7, x_ref[...], b_ref[...], x_zero=x_zero
+    )
 
 
-def _tail_go(per, g_ref, metas, dims7, X0, B0):
+def _tail_go(per, g_ref, metas, dims7, X0, B0, x_zero=False):
     """The whole-tail V-cycle recursion on VMEM values — shared by the
-    standalone tail kernel and the phased subcycle kernel's mid phase."""
+    standalone tail kernel and the phased subcycle kernel's mid phase.
+
+    Every level below the entry starts from the zero guess
+    (multilevel.jl:225), so its presmooth runs with zero-start live-offset
+    sparsification (exact up to graph-shape-dependent XLA multiply-add
+    contraction — vcycle_kernels._steps_live_offsets); ``x_zero`` extends
+    that to the entry level when the caller passes x=0."""
     n_lvl = len(metas)
 
     def lvl_refs(l):
@@ -477,7 +485,9 @@ def _tail_go(per, g_ref, metas, dims7, X0, B0):
             rsum = term if rsum is None else rsum + term
         return B - rsum
 
-    def go(l, X, B):
+    dbg = os.environ.get("AMG_DBG_TAIL", "")  # anatomy probes (scratch only)
+
+    def go(l, X, B, zs=False):
         m = metas[l]
         Bx, By = m.box
         A_r, d_r, Rp_r, SRx_r, SRy_r, Pp_r, UPx_r, UPy_r, Tp_r, Sp_r = lvl_refs(l)
@@ -485,10 +495,14 @@ def _tail_go(per, g_ref, metas, dims7, X0, B0):
         D = d_r[...]
         col = _color_plane(m)
 
-        X = _sweep(X, B, D, A, col, m.steps, m.omega, m.offsA, Bx, By)
-        r = residual(X, B, A, m.offsA, Bx, By)
+        live = _steps_live_offsets(m.steps, m.color_grid, m.offsA) if zs else None
+        if "nosweep" not in dbg:
+            X = _sweep(X, B, D, A, col, m.steps, m.omega, m.offsA, Bx, By, live=live)
+        r = B if "nores" in dbg else residual(X, B, A, m.offsA, Bx, By)
 
-        if m.factored:
+        if "norestrict" in dbg:
+            bc = jnp.zeros(m.cbox, X.dtype)
+        elif m.factored:
             # R = Tᵀ(I − A·diag(s)): b_c = Σ_{ρ∈[0,k)²} subsample_ρ(T⊙s̃)
             # with s̃ = r − A(s⊙r); selector index = residue δ directly.
             # residual(·, 0) = −A·(·), so Ag = −residual(g, 0).
@@ -517,9 +531,12 @@ def _tail_go(per, g_ref, metas, dims7, X0, B0):
         if l == n_lvl - 1:
             xc = _coarse_apply(bc, g_ref, metas[l].cbox, dims7)
         else:
-            xc = go(l + 1, jnp.zeros_like(bc), bc)
+            xc = go(l + 1, jnp.zeros_like(bc), bc, zs=True)
 
-        if m.factored:
+        if "noprolong" in dbg:
+            ups = None
+            corr = jnp.zeros_like(X)
+        elif m.factored:
             # P = (I − diag(s)A)T, single offset: corr = Tup − s⊙(A·Tup)
             ups = _sel(X.dtype, _sel(X.dtype, UPx_r[0], xc), UPy_r[0].T)
             Tup = Tp_r[...].astype(X.dtype) * ups
@@ -536,10 +553,11 @@ def _tail_go(per, g_ref, metas, dims7, X0, B0):
                 corr = term if corr is None else corr + term
         X = X + corr
 
-        X = _sweep(X, B, D, A, col, m.steps, m.omega, m.offsA, Bx, By)
+        if "nosweep" not in dbg:
+            X = _sweep(X, B, D, A, col, m.steps, m.omega, m.offsA, Bx, By)
         return X
 
-    return go(0, X0, B0)
+    return go(0, X0, B0, zs=x_zero)
 
 
 def _coarse_apply(bc, g_ref, cbox, dims7):
@@ -560,8 +578,11 @@ def _coarse_apply(bc, g_ref, cbox, dims7):
     return x
 
 
-def fused_tail(cache: FusedTailCache, x, b):
-    """x ← one V-cycle over the whole tail — a single pallas_call."""
+def fused_tail(cache: FusedTailCache, x, b, x_zero: bool = False):
+    """x ← one V-cycle over the whole tail — a single pallas_call.
+
+    ``x_zero=True`` asserts x is the zero vector (coarse-level entry): the
+    entry level's presmooth is live-offset sparsified too."""
     m0 = cache.metas[0]
     Wx, Wy = m0.dims
     Bx, By = m0.box
@@ -581,7 +602,9 @@ def fused_tail(cache: FusedTailCache, x, b):
         ]
     ops.append(cache.G)
 
-    kern = functools.partial(_tail_kernel, metas=cache.metas, dims7=cache.dims7)
+    kern = functools.partial(
+        _tail_kernel, metas=cache.metas, dims7=cache.dims7, x_zero=x_zero
+    )
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,

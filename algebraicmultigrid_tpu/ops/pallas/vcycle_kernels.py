@@ -134,13 +134,25 @@ class FusedLegCache:
     # region; coefficient planes are pre-packed at build time (concatenated
     # [red; black] along the sublane axis, storage shape unchanged).
     packed: str = dataclasses.field(default="", metadata=dict(static=True))
-    # pre-upsampled coarse correction (DMA + factored only): the wrapper
-    # expands x_c to the fine lattice with one XLA repeat pass and the
-    # up/updown kernels read fine-geometry windows directly — removing the
-    # in-kernel lane-repeat and its two VMEM transposes per tile.  Value-
-    # identical: out-of-domain window values differ but are annihilated by
-    # the zero-padded T plane.
-    xcup: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # pre-upsampled coarse correction (DMA + factored only).  The in-kernel
+    # prolongation upsample needs a LANE-axis k-repeat, which Mosaic can only
+    # express as transpose → sublane-repeat → transpose — two full-block VMEM
+    # transposes per tile (~0.3 ms/cycle at 4096², the single most expensive
+    # compute in the updown kernel).  Modes:
+    #   "y"    — the wrapper lane-repeats x_c to fine y geometry (one cheap
+    #            XLA minor-dim repeat, ~3× coarse bytes of extra DMA — hidden
+    #            under compute); the kernel does only the cheap sublane
+    #            repeat.  Value-identical to "" (pure copies; out-of-domain
+    #            lanes are annihilated by the zero-padded T plane).  Default.
+    #   "full" — both axes pre-upsampled (AMG_XC_UP=1): measured 0.6 ms/call
+    #            LOSS — the fine-geometry window streams ~9× the coarse
+    #            window's bytes, and unlike "y" that stream is NOT hidden.
+    #   ""     — in-kernel repeat + transposes (AMG_XC_UP=0).
+    xcup: str = dataclasses.field(default="", metadata=dict(static=True))
+    # lane LOAD halo (≤ Hf[1]): kernels compute on (TX+2·Hf[0], TY+2·Hly)
+    # blocks; Hf[1] is only the flat planes' (128-aligned) store margin —
+    # window loads sit at lane offset (Hf[1] − Hly) + j·TY.  0 → = Hf[1].
+    Hly: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def grid(self):
@@ -410,14 +422,25 @@ def build_fused_leg_cache(
     # sweeps additionally need it for half-plane splits.  Costs ≤ 4 halo
     # rows over the old 4-alignment.
     Hfx = -(-need // 8) * 8
-    Hfy = 64 * (-(-need // 64))
+    # Hly is the lane halo the kernels COMPUTE with; Hfy is the flat planes'
+    # margin — 128-aligned for DMA caches because the chained-plane output
+    # DMA (_plane_store) writes at lane offset Hfy + j·TY, which Mosaic
+    # requires divisible by the (·,128) tiling.  Decoupling them (64-lane
+    # load halo windows at offset (Hfy − Hly) + j·TY) is MEASURED-DEAD:
+    # Mosaic also requires HBM memref-slice LANE OFFSETS provably divisible
+    # by 128 ("Failed to prove that a tile index in dimension 1 is divisible
+    # by the tiling (128)"), so unaligned window loads cannot compile and
+    # Hly must equal the plane margin for DMA caches.  The Hly/Hpy plumbing
+    # in the kernels is kept (a no-op at Hly == Hfy) in case Mosaic gains
+    # sub-tile HBM slicing.
+    Hly = 64 * (-(-need // 64))
+    Hfy = Hly
     if os.environ.get("AMG_DMA_TILE", "1") != "0":
-        # lane-axis analogue: plane stores start at Hfy + j·TY → 128-align.
-        # (Window LOADS start at j·TY and never needed this.)
         Hfy = 128 * (-(-need // 128))
+        Hly = Hfy
     Hcx, Hcy = max(-(-Hfx // k) + reachP, 4), 64
     Hcx = -(-Hcx // 4) * 4
-    if k * Hcx < Hfx + k * reachP or k * Hcy < Hfy + k * reachP:
+    if k * Hcx < Hfx + k * reachP or k * Hcy < Hly + k * reachP:
         return None
 
     # VMEM estimate (double-buffered inputs + outputs); shrink TX to fit.
@@ -476,7 +499,7 @@ def build_fused_leg_cache(
     )
 
     def vmem_need(tx):
-        bx, by = tx + 2 * Hfx, TY + 2 * Hfy
+        bx, by = tx + 2 * Hfx, TY + 2 * Hly
         txc, tyc = tx // k, TY // k
         if expand_ik:
             # streamed: x, b, xc in; x, bc out (double-buffered).  All
@@ -525,7 +548,7 @@ def build_fused_leg_cache(
         TX -= step
     if vmem_need(TX) > budget:
         return None
-    BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
+    BX, BY = TX + 2 * Hfx, TY + 2 * Hly
     TXc, TYc = TX // k, TY // k
     if TXc % 8 or TYc % 128:
         return None
@@ -561,16 +584,16 @@ def build_fused_leg_cache(
                 self.Kx, self.sx, self.Ky, self.sy = K_x, s_x, K_y, s_y
                 self.row_dims = dims
 
-        cA = _compact_pair(specA, TX, TY, Hfx, Hfy, gx, gy)
+        cA = _compact_pair(specA, TX, TY, Hfx, Hly, gx, gy)
         if factored:
-            cT = _compact_pair(specT, TX, TY, Hfx, Hfy, gx, gy, Wx, Wy)
+            cT = _compact_pair(specT, TX, TY, Hfx, Hly, gx, gy, Wx, Wy)
             if isinstance(scale_info, tuple) and scale_info[0] == "table":
                 KxS, sxS, KyS, syS = scale_info[2]
                 cS = _compact_pair(
-                    _C(KxS, sxS, KyS, syS, (Wx, Wy)), TX, TY, Hfx, Hfy, gx, gy
+                    _C(KxS, sxS, KyS, syS, (Wx, Wy)), TX, TY, Hfx, Hly, gx, gy
                 )
         else:
-            cP = _compact_pair(specP, TX, TY, Hfx, Hfy, gx, gy, Wx, Wy)
+            cP = _compact_pair(specP, TX, TY, Hfx, Hly, gx, gy, Wx, Wy)
             cR = _compact_pair(specR, TXc, TYc, 0, 0, gx, gy, Wxc, Wyc)
 
     # scale plane inputs: either a boundary-classed table (extrapolated) or a
@@ -612,13 +635,13 @@ def build_fused_leg_cache(
         # host fallback: O(n) expand + full-plane upload (exotic dtypes, debug)
         A_tiled = np.zeros((gx, gy, nA, BX, BY), dtype=cnp)
         for kk in range(nA):
-            A_tiled[:, :, kk] = _tile_with_halo(specA.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
+            A_tiled[:, :, kk] = _tile_with_halo(specA.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hly)
         diag = specA.diagonal().reshape(Wx, Wy)
         dv = np.zeros((Wx, Wy), dtype=cnp)
         nz = diag != 0
         dv[nz] = 1.0 / diag[nz]
         dinv_tiled = jnp.asarray(
-            _tile_with_halo(dv, gx, gy, TX, TY, Hfx, Hfy), dtype=coef_dtype
+            _tile_with_halo(dv, gx, gy, TX, TY, Hfx, Hly), dtype=coef_dtype
         )
         A_tiled = jnp.asarray(A_tiled, dtype=coef_dtype)
         if factored:
@@ -627,10 +650,10 @@ def build_fused_leg_cache(
             tbl, cxs, cys = _scale_inputs()
             pS = tbl[cxs[:, None], cys[None, :]].astype(cnp)
             T_tiled = jnp.asarray(
-                _tile_with_halo(pT, gx, gy, TX, TY, Hfx, Hfy), dtype=coef_dtype
+                _tile_with_halo(pT, gx, gy, TX, TY, Hfx, Hly), dtype=coef_dtype
             )
             S_tiled = jnp.asarray(
-                _tile_with_halo(pS, gx, gy, TX, TY, Hfx, Hfy), dtype=coef_dtype
+                _tile_with_halo(pS, gx, gy, TX, TY, Hfx, Hly), dtype=coef_dtype
             )
             R_tiled = P_tiled = jnp.zeros((0,), dtype=coef_dtype)
             if packed:
@@ -647,7 +670,7 @@ def build_fused_leg_cache(
                 R_tiled[:, :, kk] = _tile_with_halo(specR.expand(kk, dtype=cnp), gx, gy, TXc, TYc, 0, 0)
             P_tiled = np.zeros((gx, gy, nP, BX, BY), dtype=cnp)
             for kk in range(nP):
-                P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hfy)
+                P_tiled[:, :, kk] = _tile_with_halo(specP.expand(kk, dtype=cnp), gx, gy, TX, TY, Hfx, Hly)
             R_tiled = jnp.asarray(R_tiled, dtype=coef_dtype)
             P_tiled = jnp.asarray(P_tiled, dtype=coef_dtype)
             A_tiled = _compact_take(A_tiled, cA, gx, gy)
@@ -675,7 +698,7 @@ def build_fused_leg_cache(
                 jnp.asarray(tblS),
                 jnp.asarray(np.asarray(cxS, dtype=np.int32)),
                 jnp.asarray(np.asarray(cyS, dtype=np.int32)),
-                gx=gx, gy=gy, TX=TX, TY=TY, Hfx=Hfx, Hfy=Hfy,
+                gx=gx, gy=gy, TX=TX, TY=TY, Hfx=Hfx, Hfy=Hly,
                 diag_idx=diag_idx,
                 dtype_name=jnp.dtype(dtype).name,
                 coef_name=jnp.dtype(coef_dtype).name,
@@ -692,7 +715,7 @@ def build_fused_leg_cache(
                 jnp.asarray(cxR.astype(np.int32)), jnp.asarray(cyR.astype(np.int32)),
                 jnp.asarray(np.asarray(specP.table, dtype=cnp)),
                 jnp.asarray(cxP.astype(np.int32)), jnp.asarray(cyP.astype(np.int32)),
-                gx=gx, gy=gy, TX=TX, TY=TY, Hfx=Hfx, Hfy=Hfy, TXc=TXc, TYc=TYc,
+                gx=gx, gy=gy, TX=TX, TY=TY, Hfx=Hfx, Hfy=Hly, TXc=TXc, TYc=TYc,
                 diag_idx=diag_idx,
                 dtype_name=jnp.dtype(dtype).name,
                 coef_name=jnp.dtype(coef_dtype).name,
@@ -715,6 +738,7 @@ def build_fused_leg_cache(
         col_dims=(Wxc, Wyc),
         tile=(TX, TY),
         Hf=(Hfx, Hfy),
+        Hly=Hly,
         Hc=(Hcx, Hcy),
         omega=omega,
         iter=iters,
@@ -744,16 +768,12 @@ def build_fused_leg_cache(
         # BlockSpec-pipelined tile-stack path.
         dma=dma_flag,
         packed=packed,
-        # measured on TPU v5e at 4096²: a 0.6 ms/call LOSS (updown 2.89 vs
-        # 2.28 ms) — the fine-geometry x_c window streams ~9× the coarse
-        # window's bytes through the already-bandwidth-bound DMA transport,
-        # costing more than the in-kernel repeat+transposes it removes.
-        # Kept behind AMG_XC_UP=1 (value-identical, validated).
-        xcup=bool(
-            dma_flag
-            and factored
-            and not expand_ik
-            and os.environ.get("AMG_XC_UP", "0") == "1"
+        xcup=(
+            {"1": "full", "0": "", "y": "y"}.get(
+                os.environ.get("AMG_XC_UP", "y"), "y"
+            )
+            if (dma_flag and factored and not expand_ik)
+            else ""
         ),
     )
 
@@ -908,23 +928,63 @@ def _expand_ADTS(tA_ref, tT_ref, tS_ref, cache_meta, i, j, dtype):
     return A, D, T, S
 
 
-def _sweep_c(L, B, D, A, col, steps, omega, offs, BX, BY, dt):
+def _steps_live_offsets(steps, color_grid, offs):
+    """Per-step live stencil offsets for a sweep that starts from x = 0
+    (coarse-level cycles always do — multilevel.jl:225 zero guess).
+
+    Before step s only the already-updated colors hold nonzero values, so
+    any offset whose source cells are ALL still-zero contributes an exact
+    ``A_k ⊙ 0`` term.  Dropping those terms (and their rolls) is exact in
+    IEEE semantics (adding ±0 is an identity up to zero signs no consumer
+    distinguishes) — but NOT bitwise-stable across differently-shaped
+    graphs: XLA's multiply-add contraction depends on the expression
+    structure, so a sparsified graph can differ from the full one by
+    ~1 ulp per step (measured 1e-7 at f32).  Cross-path bitwise tests
+    therefore compare equally-sparsified engines; comparisons against
+    full-sum engines use tolerances.  The first step needs no stencil at
+    all (x ← ω·D⊙b on its color); a 9-point 4-color down-leg drops from
+    63 to 43 offset terms across the 7 deduped symmetric steps."""
+    tab = np.asarray(color_grid)
+    a, b = tab.shape
+    touched = set()
+    out = []
+    for c in steps:
+        live = []
+        for kk, (dx, dy) in enumerate(offs):
+            hit = False
+            for u in range(a):
+                for v in range(b):
+                    if tab[u][v] == c and tab[(u + dx) % a][(v + dy) % b] in touched:
+                        hit = True
+            if hit:
+                live.append(kk)
+        out.append(tuple(live))
+        touched.add(c)
+    return tuple(out)
+
+
+def _sweep_c(L, B, D, A, col, steps, omega, offs, BX, BY, dt, live=None):
     """_sweep at the compute dtype ``dt`` (bf16 sweeps run the VPU ~1.8×
     faster, measured); residual/restriction stay at the working dtype."""
     if not dt or jnp.dtype(dt) == L.dtype:
-        return _sweep(L, B, D, A, col, steps, omega, offs, BX, BY)
+        return _sweep(L, B, D, A, col, steps, omega, offs, BX, BY, live=live)
     d = jnp.dtype(dt)
     out = _sweep(
         L.astype(d), B.astype(d), D.astype(d), A.astype(d),
-        col, steps, omega, offs, BX, BY,
+        col, steps, omega, offs, BX, BY, live=live,
     )
     return out.astype(L.dtype)
 
 
-def _sweep(L, B, D, a_planes, color_of, steps, omega, offs, BX, BY):
-    for c in steps:
+def _sweep(L, B, D, a_planes, color_of, steps, omega, offs, BX, BY, live=None):
+    # hoist the per-step color compare: one mask per distinct color instead
+    # of a full-block == per step (symmetric sweeps revisit colors)
+    masks = {c: color_of == c for c in dict.fromkeys(steps)}
+    for s, c in enumerate(steps):
         rsum = None
         for kk, (dx, dy) in enumerate(offs):
+            if live is not None and kk not in live[s]:
+                continue  # source cells still exactly zero (see _steps_live_offsets)
             src = L
             if dx:
                 src = _roll(src, (-dx) % BX, 0, BX)
@@ -932,7 +992,8 @@ def _sweep(L, B, D, a_planes, color_of, steps, omega, offs, BX, BY):
                 src = _roll(src, (-dy) % BY, 1, BY)
             term = a_planes[kk] * src
             rsum = term if rsum is None else rsum + term
-        L = jnp.where(color_of == c, L + omega * D * (B - rsum), L)
+        val = B if rsum is None else B - rsum
+        L = jnp.where(masks[c], L + omega * D * val, L)
     return L
 
 
@@ -1010,24 +1071,30 @@ def _papply2(Lr, Lk, Ar, Ak, offs, BX2, BY):
     return yr, yk
 
 
-def _psweep2(Lr, Lk, Br, Bk, Dr, Dk, Ar, Ak, steps_par, omega, offs, BX2, BY):
+def _psweep2(
+    Lr, Lk, Br, Bk, Dr, Dk, Ar, Ak, steps_par, omega, offs, BX2, BY, live=None
+):
     """Packed multicolor sweep: steps_par ∈ {0 (red), 1 (black)}*; each step
     updates one half plane with the same expression as :func:`_sweep`."""
-    for par in steps_par:
+    for s, par in enumerate(steps_par):
         if par == 0:
             srcs = _packed2_srcs(Lr, Lk, True, BX2, BY)
             rsum = None
             for kk, off in enumerate(offs):
+                if live is not None and kk not in live[s]:
+                    continue
                 term = Ar[kk] * srcs[off]
                 rsum = term if rsum is None else rsum + term
-            Lr = Lr + omega * Dr * (Br - rsum)
+            Lr = Lr + omega * Dr * (Br if rsum is None else Br - rsum)
         else:
             srcs = _packed2_srcs(Lr, Lk, False, BX2, BY)
             rsum = None
             for kk, off in enumerate(offs):
+                if live is not None and kk not in live[s]:
+                    continue
                 term = Ak[kk] * srcs[off]
                 rsum = term if rsum is None else rsum + term
-            Lk = Lk + omega * Dk * (Bk - rsum)
+            Lk = Lk + omega * Dk * (Bk if rsum is None else Bk - rsum)
     return Lr, Lk
 
 
@@ -1130,20 +1197,30 @@ def _papplyh(P0, P1, A0, A1, offs, BX2, BY):
     return ys[0], ys[1]
 
 
-def _psweeph(P0, P1, B0, B1, D0, D1, A0, A1, steps_uv, omega, offs, BX2, BY):
+def _psweeph(
+    P0, P1, B0, B1, D0, D1, A0, A1, steps_uv, omega, offs, BX2, BY, live=None
+):
     qpar = jax.lax.broadcasted_iota(jnp.int32, (BX2, BY), 1) % 2
-    for u, v in steps_uv:
+    qmask = {v: qpar == v for v in (0, 1)}  # hoisted per-step compare
+    for s, (u, v) in enumerate(steps_uv):
         Pu = P0 if u == 0 else P1
         Au = A0 if u == 0 else A1
         Bu = B0 if u == 0 else B1
         Du = D0 if u == 0 else D1
-        srcs = _srcs_h(P0, P1, u, offs, BX2, BY)
+        lv = None if live is None else live[s]
+        srcs = _srcs_h(
+            P0, P1, u,
+            offs if lv is None else [offs[kk] for kk in lv],
+            BX2, BY,
+        )
         rsum = None
         for kk, (dx, dy) in enumerate(offs):
+            if lv is not None and kk not in lv:
+                continue
             term = Au[kk] * srcs[_src_key_h(u, dx, dy)]
             rsum = term if rsum is None else rsum + term
-        upd = Pu + omega * Du * (Bu - rsum)
-        Pu = jnp.where(qpar == v, upd, Pu)
+        upd = Pu + omega * Du * (Bu if rsum is None else Bu - rsum)
+        Pu = jnp.where(qmask[v], upd, Pu)
         if u == 0:
             P0 = Pu
         else:
@@ -1195,15 +1272,18 @@ def _pk_apply(mode, a, b, Aa, Ab, offs, BX2, BY):
     return _papplyh(a, b, Aa, Ab, offs, BX2, BY)
 
 
-def _pk_sweep(mode, a, b, Ba, Bb, Da, Db, Aa, Ab, steps, color_grid, omega, offs, BX2, BY):
+def _pk_sweep(
+    mode, a, b, Ba, Bb, Da, Db, Aa, Ab, steps, color_grid, omega, offs,
+    BX2, BY, live=None,
+):
     if mode == "cb2":
         return _psweep2(
             a, b, Ba, Bb, Da, Db, Aa, Ab,
-            _steps_parity(steps, color_grid), omega, offs, BX2, BY,
+            _steps_parity(steps, color_grid), omega, offs, BX2, BY, live=live,
         )
     return _psweeph(
         a, b, Ba, Bb, Da, Db, Aa, Ab,
-        _steps_uv(steps, color_grid), omega, offs, BX2, BY,
+        _steps_uv(steps, color_grid), omega, offs, BX2, BY, live=live,
     )
 
 
@@ -1279,11 +1359,18 @@ def _steps2_list(n_colors, iters, fwd, bwd, omega=1.0):
     return s + s
 
 
+def _hly(cache):
+    """Effective lane load halo (cache.Hly, falling back to the plane
+    margin for caches built before the decoupling)."""
+    return cache.Hly or cache.Hf[1]
+
+
 def _emeta(cache):
     if not cache.expand_in_kernel:
         return None
     TX, TY = cache.tile
-    Hfx, Hfy = cache.Hf
+    Hfx = cache.Hf[0]
+    Hfy = _hly(cache)
     return (
         cache.clsA, cache.clsT, cache.clsS, cache.diag_idx,
         TX, TY, Hfx, Hfy, TX + 2 * Hfx, TY + 2 * Hfy,
@@ -1320,8 +1407,13 @@ def _down_kernel(
     x_ref, b_ref, *rest,
     offsA, offsR, color_grid, steps, omega, k, Hfx, Hfy, TX, TY, tiled_out,
     factored, expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0,
-    packed="", plane_out=False, maskx=False, Wxy=(0, 0),
+    packed="", plane_out=False, maskx=False, Wxy=(0, 0), zero_x=False,
+    Hpy=0,
 ):
+    # Hfy is the lane LOAD halo the kernel computes with; Hpy (≥ Hfy) is the
+    # flat planes' 128-aligned store margin — loads offset by oy, stores by Hpy
+    Hpy = Hpy or Hfy
+    oy = Hpy - Hfy
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
     i = pl.program_id(1)
@@ -1335,19 +1427,25 @@ def _down_kernel(
         rest, xbuf, bbuf, sems = rest[:-3], rest[-3], rest[-2], rest[-1]
         t = j * gxs + i
         num = gxs * gys
-        L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY)
-        B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY)
-        if maskx:
-            L = _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wxy[0], Wxy[1])
+        if zero_x:
+            # coarse-level zero guess: no x window fetch at all
+            L = jnp.zeros((BX, BY), wdt)
+        else:
+            L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY, oy=oy)
+            if maskx:
+                L = _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wxy[0], Wxy[1])
+        B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY, oy=oy)
     else:
-        L = x_ref[0, 0]
+        L = jnp.zeros((BX, BY), wdt) if zero_x else x_ref[0, 0]
         B = b_ref[0, 0]
+    # zero-start sweeps skip offsets whose source colors are still zero
+    live = _steps_live_offsets(steps, color_grid, offsA) if zero_x else None
 
     def emit_x(Lfull):
         if plane_out:
             _plane_store(
                 xo_ref, obuf, osem, j * gxs + i, gxs * gys, gxs, TX, TY,
-                Hfx, Hfy, Lfull[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(wdt),
+                Hfx, Hpy, Lfull[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(wdt),
             )
         elif tiled_out:
             xo_ref[0, 0] = Lfull.astype(wdt)
@@ -1379,7 +1477,7 @@ def _down_kernel(
         Ak = [A[kk, BX2:] for kk in range(len(offsA))]
         Lr, Lk = _pk_sweep(
             packed, Lr, Lk, Br, Bk, Dr, Dk, Ar, Ak,
-            steps, color_grid, omega, offsA, BX2, BY,
+            steps, color_grid, omega, offsA, BX2, BY, live=live,
         )
         L = _pk_unpack(packed, Lr, Lk, BX, BY)
         emit_x(L)
@@ -1394,7 +1492,7 @@ def _down_kernel(
         return
 
     col = _color_of(i, j, TX, TY, Hfx, Hfy, BX, BY, color_grid)
-    L = _sweep_c(L, B, D, A, col, steps, omega, offsA, BX, BY, cdt)
+    L = _sweep_c(L, B, D, A, col, steps, omega, offsA, BX, BY, cdt, live=live)
     # tiled_out hands the whole halo block to the up leg (the outer
     # n_steps·reachA halo layers are stale, but the builder sized Hf so the
     # remaining valid band covers the up leg's sweeps)
@@ -1428,8 +1526,15 @@ def _down_kernel(
     bc_ref[:] = acc.astype(bc_ref.dtype)
 
 
-def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
+def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None,
+               x_zero: bool = False):
     """(x', b_c) = (presmooth(x, b), R·(b − A·x')) — one pallas_call.
+
+    ``x_zero=True`` asserts x is the zero vector (coarse-level cycles start
+    from the zero guess, multilevel.jl:225): the kernel skips the x window
+    fetch and sparsifies the early sweep steps to the offsets whose source
+    colors are already nonzero (exact up to graph-shape-dependent XLA
+    multiply-add contraction — see :func:`_steps_live_offsets`).
 
     ``tiled=True`` returns ``(Xt', b_c, Bt)`` with ``Xt'`` the full halo-block
     form (consumed directly by :func:`fused_up_t` — skips one untile and one
@@ -1445,7 +1550,8 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
     Wx, Wy = cache.row_dims
     Wxc, Wyc = cache.col_dims
     TX, TY = cache.tile
-    Hfx, Hfy = cache.Hf
+    Hfx, Hpy = cache.Hf
+    Hfy = _hly(cache)  # lane load halo — the kernel block geometry
     k = cache.k
     gx, gy = cache.grid
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
@@ -1455,16 +1561,31 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
 
     maskx = False
     plane_out = bool(tiled and cache.dma)
+    x_zero = bool(
+        x_zero
+        and not cache.expand_in_kernel
+        and os.environ.get("AMG_ZERO_START", "1") != "0"
+    )
     if cache.dma:
-        maskx = x.ndim == 2
-        Xt = x if maskx else _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        maskx = (not x_zero) and x.ndim == 2
+        if x_zero:
+            # kernel never fetches x — a dummy operand keeps the signature
+            Xt = jnp.zeros((8, 128), dtype)
+        elif maskx:
+            Xt = x
+        else:
+            Xt = _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hpy, dtype)
         Bt = (
             bpad
             if bpad is not None
-            else _pad_plane(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+            else _pad_plane(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hpy, dtype)
         )
     else:
-        Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        Xt = (
+            jnp.zeros((8, 128), dtype)
+            if x_zero
+            else _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        )
         Bt = _xla_tile(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
 
     kern = functools.partial(
@@ -1493,8 +1614,14 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
         gxs=gx,
         gys=gy,
         packed=cache.packed,
+        zero_x=x_zero,
+        Hpy=Hpy,
     )
     tile_spec = _any_spec() if cache.dma else _cspec((1, 1, BX, BY))
+    # zero_x: the x operand is a dummy the kernel never reads
+    x_spec = tile_spec
+    if x_zero and not cache.dma:
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     a_blk = (1, 1, len(cache.offsA), BX, BY)
     if cache.expand_in_kernel:
         extra_specs = [_tab_spec(cache.tabA), _tab_spec(cache.tabT), _tab_spec(cache.tabS)]
@@ -1520,7 +1647,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
     if plane_out:
         xo_spec = _any_spec()
         xo_shape = jax.ShapeDtypeStruct(
-            (2 * Hfx + gx * TX, 2 * Hfy + gy * TY), dtype
+            (2 * Hfx + gx * TX, 2 * Hpy + gy * TY), dtype
         )
     elif eff_tiled:
         xo_spec = tile_spec
@@ -1531,7 +1658,7 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None):
     xo, bc = pl.pallas_call(
         kern,
         grid=(gy, gx),
-        in_specs=[tile_spec, tile_spec] + extra_specs,
+        in_specs=[x_spec, tile_spec] + extra_specs,
         out_specs=(
             xo_spec,
             _cspec((TXc, TYc)),
@@ -1583,8 +1710,10 @@ def _up_kernel(
     x_ref, b_ref, *rest,
     offsA, offsP, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
     factored, expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0,
-    packed="", xcup=False, maskx=False, Wxy=(0, 0),
+    packed="", xcup=False, maskx=False, Wxy=(0, 0), Hpy=0,
 ):
+    Hpy = Hpy or Hfy
+    oy = Hpy - Hfy
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     i = pl.program_id(1)
     j = pl.program_id(0)
@@ -1594,8 +1723,8 @@ def _up_kernel(
         rest, xbuf, bbuf, cbuf, sems = rest[:-4], rest[-4], rest[-3], rest[-2], rest[-1]
         t = j * gxs + i
         num = gxs * gys
-        L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY)
-        B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY)
+        L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY, oy=oy)
+        B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY, oy=oy)
         if maskx:
             L = _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wxy[0], Wxy[1])
     else:
@@ -1616,30 +1745,25 @@ def _up_kernel(
         A = a_ref[0, 0].astype(L.dtype)
     if dma:
         TXc, TYc = TX // k, TY // k
-        if xcup:
-            XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TX, TY)
+        if xcup == "full":
+            XC = _dma_window(
+                xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TX, TY, oy=oy
+            )
+        elif xcup == "y":
+            XC = _dma_window(
+                xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TY, oy=oy
+            )
         else:
             XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TYc)
     else:
         XC = xc_ref[0, 0]
 
-    # prolong-correct: fine local f reads coarse (f − Hf)//k + δ + Hc.
-    # Lane-axis jnp.repeat crashes Mosaic — repeat lanes via transpose +
-    # sublane repeat + transpose (same trick as the stride-k subsample);
-    # xcup caches skip all of it (the window IS the upsampled plane).
-    if xcup:
-        up = None
-        src0 = XC
-    else:
-        upx = jnp.repeat(XC, k, axis=0)
-        up = jnp.repeat(upx.T, k, axis=0).T
-        src0 = None
+    # prolong-correct: fine local f reads coarse (f − Hf)//k + δ + Hc
+    # (see _corr_src for the xcup-mode geometry)
+    if factored or expand:
+        src0 = _corr_src(XC, xcup, k, Hcx, Hcy, Hfx, Hfy, BX, BY)
     if packed:
         BX2 = BX // 2
-        if src0 is None:
-            sx = k * Hcx - Hfx
-            sy = k * Hcy - Hfy
-            src0 = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
         src = src0
         Lr, Lk = _pk_pack(packed, L, BX, BY)
         Br, Bk = _pk_pack(packed, B, BX, BY)
@@ -1660,13 +1784,13 @@ def _up_kernel(
         return
     if factored or expand:
         # P = (I − diag(s)·A)·T, T single-offset: corr = Tup − s⊙(A·Tup)
-        if src0 is None:
-            sx = k * Hcx - Hfx
-            sy = k * Hcy - Hfy
-            src0 = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
         Tup = Tv * src0
         corr = Tup - Sv * _stencil_apply(A, Tup, offsA, BX, BY)
     else:
+        # non-factored: per-offset P-plane slices need the fully upsampled
+        # block (builder never sets an xcup mode for non-factored caches)
+        upx = jnp.repeat(XC, k, axis=0)
+        up = jnp.repeat(upx.T, k, axis=0).T
         corr = None
         for kk, (dx, dy) in enumerate(offsP):
             sx = k * (dx + Hcx) - Hfx
@@ -1690,18 +1814,19 @@ def fused_up(cache: FusedLegCache, x, b, xc, out_len=None):
     the flat rhs or the padded plane (loop-invariant)."""
     Wx, Wy = cache.row_dims
     TX, TY = cache.tile
-    Hfx, Hfy = cache.Hf
+    Hfx, Hpy = cache.Hf
+    Hfy = _hly(cache)
     gx, gy = cache.grid
     dtype = jnp.dtype(cache.wdtype)
     n = Wx * Wy
     maskx = False
     if cache.dma:
         maskx = x.ndim == 2
-        Xt = x if maskx else _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        Xt = x if maskx else _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hpy, dtype)
         Bt = (
             b
             if b.ndim == 2
-            else _pad_plane(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+            else _pad_plane(b, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hpy, dtype)
         )
     else:
         Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
@@ -1722,7 +1847,8 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len, maskx=
     Wx, Wy = cache.row_dims
     Wxc, Wyc = cache.col_dims
     TX, TY = cache.tile
-    Hfx, Hfy = cache.Hf
+    Hfx, Hpy = cache.Hf
+    Hfy = _hly(cache)
     Hcx, Hcy = cache.Hc
     k = cache.k
     gx, gy = cache.grid
@@ -1732,8 +1858,10 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len, maskx=
     n = Wx * Wy
     nc = Wxc * Wyc
 
-    if cache.xcup:
+    if cache.xcup == "full":
         XCt = _upsample_plane(cache, xc, dtype)
+    elif cache.xcup == "y":
+        XCt = _upsample_plane_y(cache, xc, dtype)
     elif cache.dma:
         XCt = _pad_plane(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
     else:
@@ -1766,6 +1894,7 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len, maskx=
         gys=gy,
         packed=cache.packed,
         xcup=cache.xcup,
+        Hpy=Hpy,
     )
     tile_spec = _any_spec() if cache.dma else _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
@@ -1799,7 +1928,11 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len, maskx=
                 pltpu.VMEM((2, BX, BY), dtype),
                 pltpu.VMEM((2, BX, BY), dtype),
                 pltpu.VMEM(
-                    (2, BX, BY) if cache.xcup else (2, TXc + 2 * Hcx, TYc + 2 * Hcy),
+                    (2, BX, BY)
+                    if cache.xcup == "full"
+                    else (2, TXc + 2 * Hcx, BY)
+                    if cache.xcup == "y"
+                    else (2, TXc + 2 * Hcx, TYc + 2 * Hcy),
                     dtype,
                 ),
                 _dma_sems(3),
@@ -1821,6 +1954,45 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len, maskx=
     if pad > 0:
         xo = jnp.pad(xo, (0, pad))
     return xo
+
+
+def _corr_src(XC, xcup, k, Hcx, Hcy, Hfx, Hfy, BX, BY):
+    """(BX, BY) piecewise-constant upsample of the coarse window ``XC`` at
+    the fine window's geometry — the prolongation source plane.
+
+    xcup "full": XC is already fine-geometry.  "y": XC is lane-upsampled by
+    the wrapper (rows coarse, lanes fine) — only the cheap sublane repeat
+    happens here.  "": both repeats in-kernel; the lane repeat needs the
+    transpose trick (Mosaic lane-axis ``jnp.repeat`` crashes), two full-block
+    VMEM transposes."""
+    if xcup == "full":
+        return XC
+    upx = jnp.repeat(XC, k, axis=0)
+    sx = k * Hcx - Hfx
+    if xcup == "y":
+        return jax.lax.slice(upx, (sx, 0), (sx + BX, BY))
+    up = jnp.repeat(upx.T, k, axis=0).T
+    sy = k * Hcy - Hfy
+    return jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
+
+
+def _upsample_plane_y(cache, xc, dtype):
+    """x_c lane-repeated to fine y geometry (rows stay coarse) for the
+    xcup="y" kernels: one XLA minor-dim repeat instead of the in-kernel
+    lane-repeat's two VMEM transposes.  Beyond-domain lanes are zero here
+    (vs copied coarse values in-kernel) — annihilated by the zero-padded
+    T plane, so consumers are value-identical."""
+    Wx, Wy = cache.row_dims
+    Wxc, Wyc = cache.col_dims
+    TX, TY = cache.tile
+    Hfx, Hfy = cache.Hf
+    Hcx, _ = cache.Hc
+    gx, gy = cache.grid
+    k = cache.k
+    TXc = TX // k
+    XC2 = xc[: Wxc * Wyc].reshape(Wxc, Wyc).astype(dtype)
+    zy = jnp.repeat(XC2, k, axis=1)[:, :Wy]
+    return jnp.pad(zy, ((Hcx, Hcx + gx * TXc - Wxc), (Hfy, Hfy + gy * TY - Wy)))
 
 
 def _upsample_plane(cache, xc, dtype):
@@ -1847,7 +2019,7 @@ def _pad_plane(v, n, Wx, Wy, gx, gy, TX, TY, Hx, Hy, dtype):
     return jnp.pad(g, ((Hx, Hx + gx * TX - Wx), (Hy, Hy + gy * TY - Wy)))
 
 
-def _dma_window(hbm, buf, sems, kop, t, num, gx, TX, TY):
+def _dma_window(hbm, buf, sems, kop, t, num, gx, TX, TY, once=False, oy=0):
     """Double-buffered halo-window fetch: at grid step ``t`` return the
     (BX, BY) window starting at (i·TX, j·TY) of the padded plane ``hbm``,
     having prefetched step ``t+1``'s window during step ``t``'s compute.
@@ -1855,7 +2027,14 @@ def _dma_window(hbm, buf, sems, kop, t, num, gx, TX, TY):
 
     When the semaphore array carries a third axis of size P > 1
     (AMG_DMA_SPLIT), the window is fetched as P concurrent row-range copies
-    — spreading one logical fetch across DMA engines."""
+    — spreading one logical fetch across DMA engines.
+
+    ``oy`` is the source lane offset — (plane margin − load halo) when the
+    plane's margin is wider than the halo the kernel computes with.
+
+    ``once=True`` is a timing probe (AMG_DBG_UPDOWN=nodma): fetch only grid
+    step 0's window and reuse it for every step — isolates compute time from
+    input-DMA time (results are wrong; scratch use only)."""
     BX, BY = buf.shape[1], buf.shape[2]
     P = sems.shape[2] if len(sems.shape) > 2 else 1
 
@@ -1865,7 +2044,7 @@ def _dma_window(hbm, buf, sems, kop, t, num, gx, TX, TY):
         if P == 1:
             return [
                 pltpu.make_async_copy(
-                    hbm.at[pl.ds(ii * TX, BX), pl.ds(jj * TY, BY)],
+                    hbm.at[pl.ds(ii * TX, BX), pl.ds(jj * TY + oy, BY)],
                     buf.at[slot],
                     sems.at[kop, slot],
                 )
@@ -1879,12 +2058,22 @@ def _dma_window(hbm, buf, sems, kop, t, num, gx, TX, TY):
                 break
             out.append(
                 pltpu.make_async_copy(
-                    hbm.at[pl.ds(ii * TX + r0, r1 - r0), pl.ds(jj * TY, BY)],
+                    hbm.at[pl.ds(ii * TX + r0, r1 - r0), pl.ds(jj * TY + oy, BY)],
                     buf.at[slot, pl.ds(r0, r1 - r0)],
                     sems.at[kop, slot, p_],
                 )
             )
         return out
+
+    if once:
+        @pl.when(t == 0)
+        def _():
+            for c in cps(0, 0):
+                c.start()
+            for c in cps(0, 0):
+                c.wait()
+
+        return buf[0]
 
     slot = t % 2
 
@@ -1947,14 +2136,22 @@ def _plane_store(o_hbm, obuf, osem, t, num, gx, TX, TY, Hfx, Hfy, val):
 
 
 def _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wx, Wy):
-    """Zero a loaded window outside the logical domain — reproduces the
-    zero margins of :func:`_pad_plane` bitwise, so kernels can consume
-    chained output planes whose margins were never written."""
-    BX, BY = L.shape
-    px = jax.lax.broadcasted_iota(jnp.int32, (BX, BY), 0) + (i * TX - Hfx)
-    py = jax.lax.broadcasted_iota(jnp.int32, (BX, BY), 1) + (j * TY - Hfy)
-    ok = (px >= 0) & (px < Wx) & (py >= 0) & (py < Wy)
-    return jnp.where(ok, L, jnp.zeros_like(L))
+    """Make a chained window's out-of-domain values harmless: NaN→0 and
+    ±Inf→clamped (4 vreg-ops).  Chained output planes' margins (and the
+    beyond-domain overhang of edge tiles) are never written, so they may
+    hold ANY bit pattern — but every out-of-domain read is multiplied by an
+    exactly-zero boundary-class coefficient (the lattice-extraction
+    invariant: coefficients vanish beyond the domain), and 0·finite = 0,
+    so all in-domain outputs stay bitwise identical to the zero-margin
+    (:func:`_pad_plane`) case.  Only NaN/Inf garbage breaks that
+    (0·NaN = NaN, which then spreads through the stencil sums) and must be
+    scrubbed.  In-domain values pass through bitwise (any finite f32 is
+    below the clamp).  Replaces the previous iota box mask (~11 vreg-ops —
+    measured ~8% of the updown kernel's compute at 4096²)."""
+    del i, j, TX, TY, Hfx, Hfy, Wx, Wy  # geometry no longer needed
+    z = jnp.where(L != L, jnp.zeros_like(L), L)
+    big = jnp.asarray(jnp.finfo(L.dtype).max, L.dtype)
+    return jnp.clip(z, -big, big)
 
 
 def _any_spec():
@@ -1992,8 +2189,10 @@ def _updown_kernel(
     x_ref, b_ref, *rest,
     offsA, color_grid, steps, omega, k, Hfx, Hfy, Hcx, Hcy, TX, TY,
     expand=False, emeta=None, cdt="", dma=False, gxs=0, gys=0, packed="",
-    xcup=False, dbg="", plane_out=False, maskx=False, Wxy=(0, 0),
+    xcup=False, dbg="", plane_out=False, maskx=False, Wxy=(0, 0), Hpy=0,
 ):
+    Hpy = Hpy or Hfy
+    oy = Hpy - Hfy
     BX, BY = TX + 2 * Hfx, TY + 2 * Hfy
     TXc, TYc = TX // k, TY // k
     i = pl.program_id(1)
@@ -2001,14 +2200,15 @@ def _updown_kernel(
 
     wdt = x_ref.dtype
     obuf = osem = None
+    once = "nodma" in dbg  # timing probe: fetch inputs once, reuse per step
     if dma:
         if plane_out:
             rest, obuf, osem = rest[:-2], rest[-2], rest[-1]
         rest, xbuf, bbuf, cbuf, sems = rest[:-4], rest[-4], rest[-3], rest[-2], rest[-1]
         t = j * gxs + i
         num = gxs * gys
-        L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY)
-        B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY)
+        L = _dma_window(x_ref, xbuf, sems, 0, t, num, gxs, TX, TY, once=once, oy=oy)
+        B = _dma_window(b_ref, bbuf, sems, 1, t, num, gxs, TX, TY, once=once, oy=oy)
         if maskx:
             L = _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wxy[0], Wxy[1])
     else:
@@ -2016,10 +2216,12 @@ def _updown_kernel(
         B = b_ref[0, 0]
 
     def emit_x(Lfull):
+        if "noout" in dbg:  # timing probe: skip the output plane store
+            return
         if plane_out:
             _plane_store(
                 xo_ref, obuf, osem, j * gxs + i, gxs * gys, gxs, TX, TY,
-                Hfx, Hfy, Lfull[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(wdt),
+                Hfx, Hpy, Lfull[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(wdt),
             )
         else:
             xo_ref[:] = Lfull[Hfx : Hfx + TX, Hfy : Hfy + TY].astype(xo_ref.dtype)
@@ -2034,10 +2236,21 @@ def _updown_kernel(
         T = t_ref[0, 0].astype(L.dtype)
         S = s_ref[0, 0].astype(L.dtype)
     if dma:
-        if xcup:
-            XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TX, TY)
+        if xcup == "full":
+            XC = _dma_window(
+                xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TX, TY,
+                once=once, oy=oy,
+            )
+        elif xcup == "y":
+            XC = _dma_window(
+                xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TY,
+                once=once, oy=oy,
+            )
         else:
-            XC = _dma_window(xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TYc)
+            XC = _dma_window(
+                xc_ref, cbuf, sems, 2, j * gxs + i, gxs * gys, gxs, TXc, TYc,
+                once=once,
+            )
     else:
         XC = xc_ref[0, 0]
 
@@ -2047,14 +2260,7 @@ def _updown_kernel(
         return
 
     # prolong-correct (factored): corr = Tup − s⊙(A·Tup)
-    if xcup:
-        src = XC
-    else:
-        upx = jnp.repeat(XC, k, axis=0)
-        up = jnp.repeat(upx.T, k, axis=0).T
-        sx = k * Hcx - Hfx
-        sy = k * Hcy - Hfy
-        src = jax.lax.slice(up, (sx, sy), (sx + BX, sy + BY))
+    src = _corr_src(XC, xcup, k, Hcx, Hcy, Hfx, Hfy, BX, BY)
 
     if packed:
         BX2 = BX // 2
@@ -2121,7 +2327,8 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc, plane_out=False):
     Wx, Wy = cache.row_dims
     Wxc, Wyc = cache.col_dims
     TX, TY = cache.tile
-    Hfx, Hfy = cache.Hf
+    Hfx, Hpy = cache.Hf
+    Hfy = _hly(cache)
     Hcx, Hcy = cache.Hc
     k = cache.k
     gx, gy = cache.grid
@@ -2135,17 +2342,18 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc, plane_out=False):
     plane_out = bool(plane_out and cache.dma)
     if cache.dma:
         maskx = x.ndim == 2
-        Xt = x if maskx else _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+        Xt = x if maskx else _pad_plane(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hpy, dtype)
         Bt = (
             b_or_bt
             if b_or_bt.ndim == 2
-            else _pad_plane(b_or_bt, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
+            else _pad_plane(b_or_bt, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hpy, dtype)
         )
-        XCt = (
-            _upsample_plane(cache, xc, dtype)
-            if cache.xcup
-            else _pad_plane(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
-        )
+        if cache.xcup == "full":
+            XCt = _upsample_plane(cache, xc, dtype)
+        elif cache.xcup == "y":
+            XCt = _upsample_plane_y(cache, xc, dtype)
+        else:
+            XCt = _pad_plane(xc, nc, Wxc, Wyc, gx, gy, TXc, TYc, Hcx, Hcy, dtype)
     else:
         Xt = _xla_tile(x, n, Wx, Wy, gx, gy, TX, TY, Hfx, Hfy, dtype)
         Bt = (
@@ -2182,6 +2390,7 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc, plane_out=False):
         plane_out=plane_out,
         maskx=maskx,
         Wxy=(Wx, Wy),
+        Hpy=Hpy,
     )
     tile_spec = _any_spec() if cache.dma else _cspec((1, 1, BX, BY))
     a_blk = (1, 1, len(cache.offsA), BX, BY)
@@ -2200,7 +2409,7 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc, plane_out=False):
     if plane_out:
         xo_spec = _any_spec()
         xo_shape = jax.ShapeDtypeStruct(
-            (2 * Hfx + gx * TX, 2 * Hfy + gy * TY), dtype
+            (2 * Hfx + gx * TX, 2 * Hpy + gy * TY), dtype
         )
     else:
         xo_spec = _cspec((TX, TY))
@@ -2222,7 +2431,11 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc, plane_out=False):
                 pltpu.VMEM((2, BX, BY), dtype),
                 pltpu.VMEM((2, BX, BY), dtype),
                 pltpu.VMEM(
-                    (2, BX, BY) if cache.xcup else (2, TXc + 2 * Hcx, TYc + 2 * Hcy),
+                    (2, BX, BY)
+                    if cache.xcup == "full"
+                    else (2, TXc + 2 * Hcx, BY)
+                    if cache.xcup == "y"
+                    else (2, TXc + 2 * Hcx, TYc + 2 * Hcy),
                     dtype,
                 ),
                 _dma_sems(3),
