@@ -18,7 +18,7 @@ Prints ONE JSON line:
 Environment knobs:
   AMG_BENCH_N        grid edge (default 4096 → 16.7M unknowns)
   AMG_BENCH_DTYPE    float32 (default) | float64
-  AMG_BENCH_CYCLES   timed V-cycles for the throughput section (default 20)
+  AMG_BENCH_CYCLES   timed V-cycles per call (default 400; tunnel amortization)
   AMG_BENCH_METHOD   sa (default) | rs
   AMG_COEF_DTYPE     bfloat16 (default) | float32 — fused-leg A/P storage
 """
@@ -66,12 +66,14 @@ def main():
 
     N = int(os.environ.get("AMG_BENCH_N", 4096))
     dtype = jnp.dtype(os.environ.get("AMG_BENCH_DTYPE", "float32"))
-    # 100 cycles per timed call: the axon tunnel adds ~28 ms of fixed
+    # 400 cycles per timed call: the axon tunnel adds ~28 ms of fixed
     # dispatch+readback latency per executable call (measured: an empty jit
-    # round-trips in 28 ms); at 20 cycles that inflates the per-cycle time
-    # by ~1.4 ms.  Amortising over 100 cycles measures the device, not the
-    # tunnel (profiler-verified: device-busy time matches).
-    n_cycles = int(os.environ.get("AMG_BENCH_CYCLES", 100))
+    # round-trips in 28 ms); at 100 cycles that still inflated the per-cycle
+    # time by ~0.28 ms (~10% at a ~2.8 ms cycle — discovered when the tail
+    # kernel "cost" halved on moving 100 → 200 reps/call).  Amortising over
+    # 400 cycles (~1.1 s device time per call, scan unroll=1 keeps the
+    # program size flat) measures the device, not the tunnel.
+    n_cycles = int(os.environ.get("AMG_BENCH_CYCLES", 400))
     method = os.environ.get("AMG_BENCH_METHOD", "sa")
 
     t0 = time.time()
