@@ -355,10 +355,11 @@ def build_fused_leg_cache(
     # the representative-tile compaction on small problems).
     # measured on TPU v5e at 4096² (AMG_LEG_TILE sweeps): (240, 1536) beats
     # (240, 768) 153.6 vs 150.0 Gnnz/s — the y-halo is lane-alignment-fixed,
-    # so a wider tile halves its share of the VPU work.  Round-3 re-sweep on
-    # the packed/plane-chained kernels: TX 360 best (updown 2.223 ms vs 2.318
-    # at 240; 384+ regress — VMEM pressure), needs the 72 MB budget below.
-    tx_t, ty_t = 360, 1536
+    # so a wider tile halves its share of the VPU work.  Round-4 re-sweep on
+    # the xcup-y/zero-start kernels: TX 384 best (updown 2.101 ms vs 2.146
+    # at 360, 2.223 at 456; 11×384 = 4224 also carries less x-overhang than
+    # 12×360 = 4320); needs the 72 MB budget below.
+    tx_t, ty_t = 384, 1536
     _tt = os.environ.get("AMG_LEG_TILE")
     if _tt:
         tx_t, ty_t = (int(v) for v in _tt.split(","))
@@ -1685,7 +1686,8 @@ def fused_down(cache: FusedLegCache, x, b, tiled: bool = False, bpad=None,
             dimension_semantics=(
                 ("arbitrary", "arbitrary") if cache.dma else ("parallel", "parallel")
             ),
-            vmem_limit_bytes=100 * 2**20,  # v5e VMEM is 128M; slab tiles need >64M stack
+            vmem_limit_bytes=104 * 2**20,  # v5e VMEM 128M, compiler cap ~107M;
+            # TX=384 puts the L1 up kernel at 100.33M scoped stack (measured)
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops)
@@ -1944,7 +1946,8 @@ def _fused_up_tiled(cache: FusedLegCache, Xt, Bt, xc, out_dtype, out_len, maskx=
             dimension_semantics=(
                 ("arbitrary", "arbitrary") if cache.dma else ("parallel", "parallel")
             ),
-            vmem_limit_bytes=100 * 2**20,  # v5e VMEM is 128M; slab tiles need >64M stack
+            vmem_limit_bytes=104 * 2**20,  # v5e VMEM 128M, compiler cap ~107M;
+            # TX=384 puts the L1 up kernel at 100.33M scoped stack (measured)
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops, XCt)
@@ -2452,7 +2455,8 @@ def fused_updown(cache: FusedLegCache, x, b_or_bt, xc, plane_out=False):
             dimension_semantics=(
                 ("arbitrary", "arbitrary") if cache.dma else ("parallel", "parallel")
             ),
-            vmem_limit_bytes=100 * 2**20,  # v5e VMEM is 128M; slab tiles need >64M stack
+            vmem_limit_bytes=104 * 2**20,  # v5e VMEM 128M, compiler cap ~107M;
+            # TX=384 puts the L1 up kernel at 100.33M scoped stack (measured)
         ),
         interpret=cache.interpret,
     )(Xt, Bt, *extra_ops, XCt)
