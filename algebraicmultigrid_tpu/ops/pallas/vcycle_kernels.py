@@ -549,6 +549,24 @@ def build_fused_leg_cache(
         TX -= step
     if vmem_need(TX) > budget:
         return None
+    if not _tt:
+        # per-level TX: among VMEM-fitting candidates ≤ the target WITH NO
+        # MORE GRID STEPS than the target tile, minimise the covered window
+        # area ceil(Wx/tx)·(tx + 2·Hfx) — the target is tuned for the finest
+        # level, but a coarser level's Wx can shed x-overhang with a smaller
+        # tile at the same grid (4096² L1 h4: Wx=1366 was 336×5 = 1920
+        # covered sublanes under the old shrink; 384×4 = 1728 here).  Ties
+        # go to the LARGER tx.  Larger-than-target candidates are excluded
+        # (VMEM-pressure slowdowns are invisible to the area proxy: TX=456
+        # fits but measured 6% slower at L0), and so are finer-grid ones
+        # (per-step DMA/sync costs are invisible too).  Explicit
+        # AMG_LEG_TILE overrides bypass this.
+        gx_t = -(-Wx // TX)
+        cands = [
+            t for t in range(step, TX + 1, step)
+            if vmem_need(t) <= budget and -(-Wx // t) <= gx_t
+        ]
+        TX = min(cands, key=lambda t: ((-(-Wx // t)) * (t + 2 * Hfx), -t))
     BX, BY = TX + 2 * Hfx, TY + 2 * Hly
     TXc, TYc = TX // k, TY // k
     if TXc % 8 or TYc % 128:
