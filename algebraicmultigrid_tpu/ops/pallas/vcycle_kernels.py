@@ -566,7 +566,11 @@ def build_fused_leg_cache(
             t for t in range(step, TX + 1, step)
             if vmem_need(t) <= budget and -(-Wx // t) <= gx_t
         ]
-        TX = min(cands, key=lambda t: ((-(-Wx // t)) * (t + 2 * Hfx), -t))
+        # cands can be empty when TX is not a step multiple (non-packed
+        # caches never snap TX to step): keep the shrunk TX so the TXc%8
+        # guard below degrades to the unfused path instead of crashing.
+        if cands:
+            TX = min(cands, key=lambda t: ((-(-Wx // t)) * (t + 2 * Hfx), -t))
     BX, BY = TX + 2 * Hfx, TY + 2 * Hly
     TXc, TYc = TX // k, TY // k
     if TXc % 8 or TYc % 128:
@@ -975,6 +979,9 @@ def _steps_live_offsets(steps, color_grid, offs):
                 for v in range(b):
                     if tab[u][v] == c and tab[(u + dx) % a][(v + dy) % b] in touched:
                         hit = True
+                        break
+                if hit:
+                    break
             if hit:
                 live.append(kk)
         out.append(tuple(live))
@@ -2171,7 +2178,13 @@ def _domain_mask(L, i, j, TX, TY, Hfx, Hfy, Wx, Wy):
     measured ~8% of the updown kernel's compute at 4096²)."""
     del i, j, TX, TY, Hfx, Hfy, Wx, Wy  # geometry no longer needed
     z = jnp.where(L != L, jnp.zeros_like(L), L)
-    big = jnp.asarray(jnp.finfo(L.dtype).max, L.dtype)
+    # Clamp to a bound finite in the NARROWEST compute dtype the sweep may
+    # cast to (bf16 under AMG_SWEEP_DTYPE=bfloat16): clamping garbage to
+    # f32 finfo.max would round to bf16 ±Inf and re-introduce 0·Inf = NaN.
+    big = jnp.asarray(
+        min(float(jnp.finfo(L.dtype).max), float(jnp.finfo(jnp.bfloat16).max)),
+        L.dtype,
+    )
     return jnp.clip(z, -big, big)
 
 
