@@ -32,6 +32,12 @@ from .models.classical import ruge_stuben
 from .models.coarse import LinearSolveWrapper, Pinv, QRSolver, SpluSolver
 from .models.gallery import poisson, stencil_grid
 from .models.lattice import LatticeMatrix, LatticeProblem
+from .models.lattice_nd import (
+    BoxAggregationND,
+    LatticeMatrixND,
+    LatticeProblemND,
+    structured_smoothed_aggregation_nd,
+)
 from .models.fastsetup import (
     structured_ruge_stuben,
     structured_smoothed_aggregation,
@@ -91,6 +97,8 @@ __all__ = [
     # lattice fast path
     "LatticeMatrix", "LatticeProblem", "structured_ruge_stuben",
     "structured_smoothed_aggregation",
+    "LatticeMatrixND", "LatticeProblemND", "BoxAggregationND",
+    "structured_smoothed_aggregation_nd",
     # gallery & utils
     "poisson", "stencil_grid", "approximate_spectral_radius",
     "HermitianSymmetry", "NoSymmetry",

@@ -176,6 +176,11 @@ class DeviceHierarchy:
     # ENTIRE sub-hierarchy below sub_start−1
     sub: Any = None
     sub_start: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    # fine-level RCM basis (BSG levels): the cycle runs in the permuted
+    # basis; solve entry applies perm0 to b and exit iperm0 to x (both are
+    # padded-identity-extended int32 index vectors; None = natural order)
+    perm0: Any = None
+    iperm0: Any = None
 
     @property
     def n_fine(self) -> int:
@@ -329,7 +334,13 @@ def _apply_smoother(cache, A, x, b):
 
 def _build_smoother_cache(config, A_csr, A_dev, dtype, colors=None, sym=False):
     from .lattice import LatticeMatrix
+    from .lattice_nd import LatticeMatrixND
 
+    if isinstance(A_csr, LatticeMatrixND):
+        cache = _build_lattice_nd_smoother_cache(config, A_csr, A_dev, dtype)
+        if cache is not None:
+            return cache
+        A_csr = A_csr.tocsr()  # rare fallback: materialise
     if isinstance(A_csr, LatticeMatrix):
         cache = _build_lattice_smoother_cache(config, A_csr, A_dev, dtype)
         if cache is not None:
@@ -360,6 +371,50 @@ def _build_smoother_cache(config, A_csr, A_dev, dtype, colors=None, sym=False):
             diag=jnp.asarray(d), omega=omega, iter=config.iter, forward=fwd, backward=bwd
         )
     raise TypeError(f"unknown smoother config {config!r}")
+
+
+def _build_lattice_nd_smoother_cache(config, A_lnd, A_dev, dtype):
+    """O(boundary)-metadata smoother caches for N-D lattice levels:
+    periodic torus coloring + host diagonal expansion (the N-D counterpart
+    of :func:`_build_lattice_smoother_cache`; device-side expansion can
+    follow if the O(n) upload shows up in profiles)."""
+    from .lattice_nd import lattice_coloring_nd
+
+    spec = A_lnd.spec
+    rows_padded = A_dev.rows_padded
+    n = A_lnd.shape[0]
+    diag = spec.diagonal()
+    active = diag != 0
+
+    if isinstance(config, Jacobi):
+        dv = np.zeros(rows_padded, dtype=dtype)
+        dv[:n] = np.where(active, 1.0 / np.where(active, diag, 1), 0.0)
+        return JacobiCache(dinv=jnp.asarray(dv), omega=float(config.omega), iter=config.iter)
+
+    if isinstance(config, (GaussSeidel, SOR)) and config.ordering == "multicolor":
+        got = lattice_coloring_nd(spec)
+        if got is None:
+            return None
+        tab, n_colors = got
+        reps = [-(-W // p) for W, p in zip(spec.row_dims, tab.shape)]
+        colors = np.tile(tab, reps)[tuple(slice(0, W) for W in spec.row_dims)].ravel()
+        omega = float(config.omega) if isinstance(config, SOR) else 1.0
+        fwd = isinstance(config.sweep, (ForwardSweep, SymmetricSweep))
+        bwd = isinstance(config.sweep, (BackwardSweep, SymmetricSweep))
+        color_of = np.full(rows_padded, n_colors, dtype=np.int32)
+        color_of[:n] = np.where(active, colors, n_colors)
+        dinv = np.zeros(rows_padded, dtype=dtype)
+        dinv[:n] = np.where(active, 1.0 / np.where(active, diag, 1), 0.0)
+        return MaskedMulticolorCache(
+            color_of=jnp.asarray(color_of),
+            dinv=jnp.asarray(dinv),
+            n_colors=n_colors,
+            omega=omega,
+            iter=config.iter,
+            forward=fwd,
+            backward=bwd,
+        )
+    return None
 
 
 def _lattice_diag_plane(Td, cx, cy):
@@ -687,20 +742,49 @@ def build_device_hierarchy(
         dtype = jnp.asarray(np.zeros(0, dtype=ml.dtype)).dtype
     dtype = jnp.dtype(dtype)
 
+    def device_cfg(cfg, n):
+        """The smoother config the DEVICE engine runs.  Natural-order GS/SOR
+        means the exact lax.scan recurrence over ELL rows — O(n) sequential,
+        only sensible for small levels.  On large levels the TPU engine
+        promotes to multicolor ordering (same smoother family; the
+        reference contract is convergence, not sweep order — SURVEY §2.8 /
+        test/test_smoothers.jl:15-45).  ``AMG_DEVICE_NATURAL_GS=1`` opts
+        out and keeps the exact sequential semantics everywhere."""
+        if (
+            isinstance(cfg, (GaussSeidel, SOR))
+            and cfg.ordering == "natural"
+            and n > dense_threshold
+            and os.environ.get("AMG_DEVICE_NATURAL_GS") != "1"
+        ):
+            import dataclasses as _dc
+
+            return _dc.replace(cfg, ordering="multicolor")
+        return cfg
+
     def needs_ell(level):
         # natural-order GS/SOR runs the exact lax.scan recurrence over ELL rows
+        n = level.A.shape[0]
         for cfg in (level.presmoother_config, level.postsmoother_config):
-            if isinstance(cfg, (GaussSeidel, SOR)) and cfg.ordering == "natural":
+            if isinstance(device_cfg(cfg, n), (GaussSeidel, SOR)) and device_cfg(cfg, n).ordering == "natural":
                 return True
         return False
 
     def lower(M, target_pad, force_ell=False, square=False):
         """Pick the fastest representation: Lat2D (lattice levels) → SDIA
-        (gather-free strided bands) → Dense (small, one MXU matmul) → ELL
-        (gather fallback)."""
+        (gather-free strided bands) → Dense (small, one MXU matmul) → BSG
+        (windowed block-select gather, unstructured-banded) → ELL (gather
+        fallback)."""
         from .lattice import LatticeMatrix
+        from .lattice_nd import LatticeMatrixND
         from ..ops.lattice_op import lat2d_from_spec
+        from ..ops.lattice_nd_op import latnd_from_spec
+        from ..ops.bsg import bsg_from_csr
 
+        if isinstance(M, LatticeMatrixND):
+            if force_ell:
+                M = M.tocsr()
+            else:
+                return latnd_from_spec(M.spec, dtype=dtype, row_pad=target_pad)
         if isinstance(M, LatticeMatrix):
             if force_ell:
                 M = M.tocsr()
@@ -718,14 +802,51 @@ def build_device_hierarchy(
                 return B
             if max(M.shape) <= dense_threshold:
                 return dense_from_csr(M, dtype=dtype, row_pad=target_pad)
+            # natural-order BSG only for modest windows — beyond ws=64 the
+            # q-sweep cost dominates and the RCM-permuted basis (narrow
+            # windows) is the right lowering; lower_square tries it next
+            G = bsg_from_csr(M, dtype=dtype, row_pad=target_pad, ws_cap=64)
+            if G is not None:
+                return G
         return ell_from_csr(M, dtype=dtype, row_pad=target_pad)
+
+    def lower_square(level):
+        """Lower a level's A, possibly adopting an RCM-permuted basis for
+        the whole level: unstructured matrices whose natural order is not
+        BSG-viable get ``A[π][:,π]``; the caller folds π into P/R and the
+        smoother caches so the cycle runs entirely in the permuted basis
+        (solve entry/exit applies π once per solve)."""
+        from .lattice import LatticeMatrix
+        from .lattice_nd import LatticeMatrixND
+        from ..ops.bsg import bsg_from_csr, rcm_permutation
+
+        M = level.A
+        force = needs_ell(level)
+        if isinstance(M, (LatticeMatrix, LatticeMatrixND)) or force:
+            return lower(M, row_pad, force_ell=force, square=True), None, None
+        A_dev = lower(M, row_pad, square=True)
+        if not isinstance(A_dev, ELL):
+            return A_dev, None, None
+        # natural order fell through to the gather tier — try the RCM basis
+        A_csr = as_csr_cached(M)
+        pi = rcm_permutation(A_csr)
+        if np.array_equal(pi, np.arange(A_csr.shape[0])):
+            return A_dev, None, None
+        Ap = A_csr[pi][:, pi].tocsr()
+        G = bsg_from_csr(Ap, dtype=dtype, row_pad=row_pad)
+        if G is None:
+            return A_dev, None, None
+        return G, pi, Ap
 
     dev_levels = []
     pad_of_level = []  # canonical padded length of each level's row space
+    perm_of_level = []  # RCM basis per level (None = natural order)
     for level in ml.levels:
-        A_dev = lower(level.A, row_pad, force_ell=needs_ell(level), square=True)
+        A_dev, pi, Ap = lower_square(level)
         pad_of_level.append(A_dev.rows_padded)
-        dev_levels.append((level, A_dev))
+        perm_of_level.append(pi)
+        dev_levels.append((level, A_dev, Ap))
+    perm_of_level.append(None)  # the final (dense-solve) level stays natural
 
     final_pad = round_up(max(ml.final_A.shape[0], 1), row_pad)
     pad_of_level.append(final_pad)
@@ -750,11 +871,28 @@ def build_device_hierarchy(
                 tail_start = start
                 break
 
+    def permute_rect(M, prow, pcol):
+        """Fold level bases into a transfer operator: rows by this level's
+        permutation, columns by the neighbour level's."""
+        if prow is None and pcol is None:
+            return M
+        C = M.tocsr() if hasattr(M, "tocsr") else as_csr_cached(M)
+        import scipy.sparse as _sp
+
+        if not _sp.issparse(C):
+            C = _sp.csr_matrix(C)
+        if prow is not None:
+            C = C[prow]
+        if pcol is not None:
+            C = C[:, pcol]
+        return C.tocsr()
+
     out = []
-    for i, (level, A_dev) in enumerate(dev_levels):
+    for i, (level, A_dev, Ap) in enumerate(dev_levels):
         # P maps coarse → this level's rows; R maps this level → coarse rows.
-        P_dev = lower(level.P, pad_of_level[i])
-        R_dev = lower(level.R, pad_of_level[i + 1])
+        pf, pc = perm_of_level[i], perm_of_level[i + 1]
+        P_dev = lower(permute_rect(level.P, pf, pc), pad_of_level[i])
+        R_dev = lower(permute_rect(level.R, pc, pf), pad_of_level[i + 1])
         sym_hint = type(ml.symmetry).__name__ == "HermitianSymmetry"
         covered = tail is not None and i >= tail_start
         # the sub-kernel (AMG_PALLAS_SUB) needs the level just above the
@@ -766,9 +904,11 @@ def build_device_hierarchy(
             # masked caches, not the (heavyweight, pre-tiled) Pallas
             # smoother caches
             os.environ["_AMG_SKIP_PALLAS_GS"] = "1"
+        A_host = Ap if Ap is not None else level.A
+        n_lvl = level.A.shape[0]
         try:
-            pre = _build_smoother_cache(level.presmoother_config, level.A, A_dev, dtype, sym=sym_hint)
-            post = _build_smoother_cache(level.postsmoother_config, level.A, A_dev, dtype, sym=sym_hint)
+            pre = _build_smoother_cache(device_cfg(level.presmoother_config, n_lvl), A_host, A_dev, dtype, sym=sym_hint)
+            post = _build_smoother_cache(device_cfg(level.postsmoother_config, n_lvl), A_host, A_dev, dtype, sym=sym_hint)
         finally:
             os.environ.pop("_AMG_SKIP_PALLAS_GS", None)
         out.append(DeviceLevel(A=A_dev, P=P_dev, R=R_dev, pre=pre, post=post, fused=fused))
@@ -800,10 +940,19 @@ def build_device_hierarchy(
         if sub is not None:
             sub_start = tail_start - 1
 
+    perm0 = iperm0 = None
+    if perm_of_level and perm_of_level[0] is not None:
+        pi0 = perm_of_level[0]
+        fine_pad = pad_of_level[0]
+        pp = np.concatenate([pi0, np.arange(len(pi0), fine_pad)]).astype(np.int32)
+        ip = np.concatenate([np.argsort(pi0), np.arange(len(pi0), fine_pad)]).astype(np.int32)
+        perm0, iperm0 = jnp.asarray(pp), jnp.asarray(ip)
+
     return DeviceHierarchy(
         levels=tuple(out), coarse=coarse, final_A=final_dev,
         tail=tail, tail_start=tail_start,
         sub=sub, sub_start=sub_start,
+        perm0=perm0, iperm0=iperm0,
     )
 
 
@@ -1064,10 +1213,21 @@ def _get_device_hierarchy(ml: MultiLevel, dtype=None) -> DeviceHierarchy:
 # --------------------------------------------------------------------------
 
 
+def _enter_basis(h: DeviceHierarchy, v):
+    """b → the hierarchy's fine-level basis (RCM for BSG levels)."""
+    return v if h.perm0 is None else jnp.take(v, h.perm0, axis=0)
+
+
+def _exit_basis(h: DeviceHierarchy, v):
+    """x back to the caller's natural ordering."""
+    return v if h.iperm0 is None else jnp.take(v, h.iperm0, axis=0)
+
+
 @partial(jax.jit, static_argnames=("cycle", "calculate_residual"))
 def _solve_fused(h: DeviceHierarchy, b, maxiter, abstol, cycle, calculate_residual):
     """Fully fused iteration loop: lax.while_loop with the residual norm
     carried on device (multilevel.jl:158-198 semantics)."""
+    b = _enter_basis(h, b)
     A = h.levels[0].A if h.levels else h.final_A
     x0 = jnp.zeros_like(b)
     normb = jnp.linalg.norm(b)
@@ -1088,7 +1248,7 @@ def _solve_fused(h: DeviceHierarchy, b, maxiter, abstol, cycle, calculate_residu
         return (x, itr + 1, normres)
 
     x, itr, normres = jax.lax.while_loop(cond, body, (x0, 1, normb))
-    return x, itr - 1, normres
+    return _exit_basis(h, x), itr - 1, normres
 
 
 # --------------------------------------------------------------------------
@@ -1101,6 +1261,7 @@ def _pcg_fused(h: DeviceHierarchy, b, maxiter, abstol, cycle):
     """Fully jitted preconditioned CG with one AMG cycle (zero initial
     guess, fixed, linear — preconditioner.jl:12-19 contract) per iteration.
     State stays on device; the loop carries ⟨r,z⟩ and the residual norm."""
+    b = _enter_basis(h, b)
     A = h.levels[0].A if h.levels else h.final_A
     n_pad = b.shape[0]
 
@@ -1131,7 +1292,7 @@ def _pcg_fused(h: DeviceHierarchy, b, maxiter, abstol, cycle):
 
     state = (x0, r0, p0, rz0, 0, jnp.linalg.norm(r0))
     x, r, p, rz, itr, normr = jax.lax.while_loop(cond, body, state)
-    return x, itr, normr
+    return _exit_basis(h, x), itr, normr
 
 
 def cg_device(
@@ -1168,13 +1329,17 @@ def _get_fine_f64(ml: MultiLevel):
     if key in ml._device_cache:
         return ml._device_cache[key]
     from .lattice import LatticeMatrix
+    from .lattice_nd import LatticeMatrixND
     from ..ops.lattice_op import lat2d_from_spec
+    from ..ops.lattice_nd_op import latnd_from_spec
 
     A = ml.levels[0].A if ml.levels else ml.final_A
     op = None
     with jax.enable_x64(True):
         if isinstance(A, LatticeMatrix):
             op = lat2d_from_spec(A.spec, dtype=jnp.float64)
+        elif isinstance(A, LatticeMatrixND):
+            op = latnd_from_spec(A.spec, dtype=jnp.float64)
         else:
             A_csr = as_csr_cached(A)
             op = sdia_from_csr(A_csr, dtype=jnp.float64, max_offsets=40, max_overhead=8.0)
@@ -1342,6 +1507,9 @@ def solve_device(
         return np.asarray(xq)[:n]
 
     # Observed path: one jitted cycle per outer iteration, host-side logging.
+    # State lives in the hierarchy's (possibly RCM-permuted) basis.
+    bq = _enter_basis(h, bp)
+
     @partial(jax.jit, static_argnames=("cyc",))
     def _step(h, xx, bb, cyc):
         A = h.levels[0].A if h.levels else h.final_A
@@ -1350,10 +1518,10 @@ def solve_device(
         return xx, jnp.linalg.norm(res)
 
     def step(xx):
-        return _step(h, xx, bp, cycle)
+        return _step(h, xx, bq, cycle)
 
-    xq = _pad_to(jnp.zeros_like(b_arr), h.fine_padded) if x is None else _pad_to(
-        jnp.asarray(np.asarray(x), dtype=wdtype), h.fine_padded
+    xq = _pad_to(jnp.zeros_like(b_arr), h.fine_padded) if x is None else _enter_basis(
+        h, _pad_to(jnp.asarray(np.asarray(x), dtype=wdtype), h.fine_padded)
     )
     residuals = [normb]
     normres = normb
@@ -1366,5 +1534,5 @@ def solve_device(
         residuals.append(normres)
         itr += 1
 
-    xout = np.asarray(xq)[:n]
+    xout = np.asarray(_exit_basis(h, xq))[:n]
     return (xout, residuals) if log else xout

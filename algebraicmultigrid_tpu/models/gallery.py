@@ -88,9 +88,13 @@ def poisson(
                 stencil[tuple(idx)] = -1
         stencil[centre] = 2 * N
         if lattice:
-            from .lattice import LatticeProblem
+            if N <= 2:
+                from .lattice import LatticeProblem
 
-            return LatticeProblem(stencil, sz, dtype=dtype)
+                return LatticeProblem(stencil, sz, dtype=dtype)
+            from .lattice_nd import LatticeProblemND
+
+            return LatticeProblemND(stencil, sz, dtype=dtype)
         return stencil_grid(stencil, sz, dtype=dtype)
     if lattice:
         from .lattice import LatticeProblem

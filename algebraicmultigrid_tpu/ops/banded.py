@@ -216,6 +216,14 @@ def mat_vec(A, x: jax.Array) -> jax.Array:
 
     if isinstance(A, Lat2D):
         return lat2d_spmv(A, x)
+    from .bsg import BSG, bsg_spmv
+
+    if isinstance(A, BSG):
+        return bsg_spmv(A, x)
+    from .lattice_nd_op import LatND, latnd_spmv
+
+    if isinstance(A, LatND):
+        return latnd_spmv(A, x)
     raise TypeError(f"unknown operator format {type(A)}")
 
 
