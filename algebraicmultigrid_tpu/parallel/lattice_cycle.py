@@ -73,8 +73,9 @@ class SlabLevel:
     S: jax.Array
     offsets: Tuple[Tuple[int, int], ...] = dataclasses.field(metadata=dict(static=True))
     color_tab: Tuple[Tuple[int, ...], ...] = dataclasses.field(metadata=dict(static=True))
-    steps: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
-    omega: float = dataclasses.field(metadata=dict(static=True))
+    # smoother programs: ("gs", color_steps, ω) or ("jacobi", n_iters, ω)
+    pre_sm: Tuple = dataclasses.field(metadata=dict(static=True))
+    post_sm: Tuple = dataclasses.field(metadata=dict(static=True))
     k: int = dataclasses.field(metadata=dict(static=True))
     dims: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))   # true (Wx, Wy)
     pdims: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))  # padded (Wxp, Wyp)
@@ -154,14 +155,28 @@ def build_slab_hierarchy(
             if got is None:
                 raise ValueError("level not colorable by a periodic table")
             tab, n_colors = got
-            cfg = level.presmoother_config
-            if cfg != level.postsmoother_config or not (
-                isinstance(cfg, (GaussSeidel, SOR))
-                and isinstance(cfg.sweep, SymmetricSweep)
-            ):
-                raise ValueError("slab cycle needs symmetric GS/SOR pre==post")
-            omega = float(cfg.omega) if isinstance(cfg, SOR) else 1.0
-            steps = color_steps(n_colors, cfg.iter, True, True, omega)
+
+            def sm_program(cfg):
+                """Static smoother program for one config (GS/SOR any
+                sweep, or Jacobi) — the full smoother-protocol surface of
+                smoother.jl:10-23,92-99,173-180 on the sharded tier."""
+                from ..config import (
+                    BackwardSweep,
+                    ForwardSweep,
+                    Jacobi,
+                )
+
+                if isinstance(cfg, Jacobi):
+                    return ("jacobi", int(cfg.iter), float(cfg.omega))
+                if isinstance(cfg, (GaussSeidel, SOR)):
+                    om = float(cfg.omega) if isinstance(cfg, SOR) else 1.0
+                    fwd = isinstance(cfg.sweep, (ForwardSweep, SymmetricSweep))
+                    bwd = isinstance(cfg.sweep, (BackwardSweep, SymmetricSweep))
+                    return ("gs", color_steps(n_colors, cfg.iter, fwd, bwd, om), om)
+                raise ValueError(f"unsupported slab smoother {cfg!r}")
+
+            pre_sm = sm_program(level.presmoother_config)
+            post_sm = sm_program(level.postsmoother_config)
             S_pl = _scale_plane(level, spec)
             if S_pl is None:
                 raise ValueError("level lacks the prolongator-smoothing scale")
@@ -177,11 +192,15 @@ def build_slab_hierarchy(
             max((abs(d) for d, _ in spec.offsets), default=1),
             max((abs(d) for _, d in spec.offsets), default=1),
         )
-        Hp = len(steps) * reach + 2 * reach + k
+
+        def sm_len(sm):
+            return sm[1] if sm[0] == "jacobi" else len(sm[1])
+
+        Hp = max(sm_len(pre_sm), sm_len(post_sm)) * reach + 2 * reach + k
         meta.append(dict(
             level=level, spec=spec, specT=specT,
-            idxT=specT.offsets.index((0, 0)), k=k, tab=tab, steps=steps,
-            omega=omega, S_pl=S_pl, reach=reach, Hp=Hp,
+            idxT=specT.offsets.index((0, 0)), k=k, tab=tab,
+            pre_sm=pre_sm, post_sm=post_sm, S_pl=S_pl, reach=reach, Hp=Hp,
         ))
 
     pad = lambda v, m: -(-v // m) * m
@@ -253,8 +272,8 @@ def build_slab_hierarchy(
             S=jnp.asarray(halo_slabs(fit(m["S_pl"])), dtype=dt),
             offsets=spec.offsets,
             color_tab=tuple(tuple(int(c) for c in row) for row in np.asarray(m["tab"])),
-            steps=tuple(m["steps"]),
-            omega=m["omega"],
+            pre_sm=m["pre_sm"],
+            post_sm=m["post_sm"],
             k=m["k"],
             dims=(Wx, Wy),
             pdims=(Wxp, Wyp),
@@ -352,21 +371,28 @@ def _colors(lv: SlabLevel, rows: int, H: int, n_sh: int):
     return out
 
 
-def _smooth(lv: SlabLevel, x, b, n_sh):
-    """Masked multicolor symmetric GS: ONE halo exchange of n_steps·reach
-    rows, then over-computed sweeps on the extended slab."""
+def _smooth(lv: SlabLevel, x, b, n_sh, sm):
+    """Masked multicolor GS/SOR or weighted Jacobi: ONE halo exchange of
+    n_steps·reach rows, then over-computed sweeps on the extended slab."""
     reach = max(max(abs(d) for d, _ in lv.offsets), max(abs(d) for _, d in lv.offsets))
-    H = len(lv.steps) * reach
+    kind, prog, omega = sm
+    n_steps = prog if kind == "jacobi" else len(prog)
+    H = n_steps * reach
     Xe = _exch(x, H, lv.sharded, n_sh)
     Be = _exch(b, H, lv.sharded, n_sh)
     A_h = _plane(lv, lv.A, H)
     D_h = _plane(lv, lv.dinv, H)
+    if kind == "jacobi":
+        for _ in range(prog):
+            rsum = _stencil(A_h, Xe, lv.offsets)
+            Xe = Xe + omega * D_h * (Be - rsum)
+        return Xe[H : Xe.shape[0] - H] if H else Xe
     col = _colors(lv, Xe.shape[0], H, n_sh)
-    for c in lv.steps:
+    for c in prog:
         rsum = _stencil(A_h, Xe, lv.offsets)
-        upd = Xe + lv.omega * D_h * (Be - rsum)
+        upd = Xe + omega * D_h * (Be - rsum)
         Xe = jnp.where(col == c, upd, Xe)
-    return Xe[H : Xe.shape[0] - H]
+    return Xe[H : Xe.shape[0] - H] if H else Xe
 
 
 def _restrict(lv: SlabLevel, x, b, n_sh):
@@ -442,11 +468,22 @@ def _coarse_solve(h: SlabHierarchy, bc_full):
     return jnp.pad(xg, ((0, h.cpad[0] - cW), (0, h.cpad[1] - cH)))
 
 
-def _level_cycle(h: SlabHierarchy, li: int, x, b, n_sh):
-    """One V-cycle recursion step at level li on local slabs."""
+def _child_cycles(h, li, x0, bc, n_sh, cyc):
+    """Recursion policy of multilevel.jl:200-212 applied to the child call:
+    V → one cycle; W → two chained W cycles; F → an F cycle then a V."""
+    xc = _level_cycle(h, li, x0, bc, n_sh, cyc)
+    if cyc == "w":
+        xc = _level_cycle(h, li, xc, bc, n_sh, "w")
+    elif cyc == "f":
+        xc = _level_cycle(h, li, xc, bc, n_sh, "v")
+    return xc
+
+
+def _level_cycle(h: SlabHierarchy, li: int, x, b, n_sh, cyc: str = "v"):
+    """One cycle recursion step at level li on local slabs."""
     lv = h.levels[li]
     k = lv.k
-    x = _smooth(lv, x, b, n_sh)
+    x = _smooth(lv, x, b, n_sh, lv.pre_sm)
     ts = _restrict(lv, x, b, n_sh)
 
     last = li + 1 >= len(h.levels)
@@ -457,7 +494,7 @@ def _level_cycle(h: SlabHierarchy, li: int, x, b, n_sh):
         # slab-local subsample: loc divides k by construction
         bc = _subsample(ts, k)
         bc = _fit_cols(bc, child.pdims[1])
-        xc = _level_cycle(h, li + 1, jnp.zeros_like(bc), bc, n_sh)
+        xc = _child_cycles(h, li + 1, jnp.zeros_like(bc), bc, n_sh, cyc)
         # child slabs already aligned: loc_c = loc/k; extend by Hc rows
         reach = max(max(abs(d) for d, _ in lv.offsets), max(abs(d) for _, d in lv.offsets))
         Hc = -(-reach // k) + 1
@@ -477,7 +514,7 @@ def _level_cycle(h: SlabHierarchy, li: int, x, b, n_sh):
             xcf = _coarse_solve(h, bc_full)
         else:
             bc_full = _fit_rows(_fit_cols(bc_full, child.pdims[1]), child.pdims[0])
-            xcf = _level_cycle(h, li + 1, jnp.zeros_like(bc_full), bc_full, n_sh)
+            xcf = _child_cycles(h, li + 1, jnp.zeros_like(bc_full), bc_full, n_sh, cyc)
         # slice this shard's coarse rows (+Hc halo) from the replicated grid
         reach = max(max(abs(d) for d, _ in lv.offsets), max(abs(d) for _, d in lv.offsets))
         Hc = -(-reach // k) + 1
@@ -496,7 +533,7 @@ def _level_cycle(h: SlabHierarchy, li: int, x, b, n_sh):
             xc_ext = jnp.pad(xcf, ((Hc, Hc), (0, 0)))
 
     x = x + _prolong_corr(lv, xc_ext, n_sh)
-    x = _smooth(lv, x, b, n_sh)
+    x = _smooth(lv, x, b, n_sh, lv.post_sm)
     return x
 
 
@@ -508,8 +545,8 @@ def _hier_specs(h: SlabHierarchy):
         sA = P(AXIS, None, None, None) if lv.sharded else P()
         lv_specs.append(SlabLevel(
             A=sA, dinv=s, T=s, S=s,
-            offsets=lv.offsets, color_tab=lv.color_tab, steps=lv.steps,
-            omega=lv.omega, k=lv.k, dims=lv.dims, pdims=lv.pdims, Hp=lv.Hp,
+            offsets=lv.offsets, color_tab=lv.color_tab, pre_sm=lv.pre_sm,
+            post_sm=lv.post_sm, k=lv.k, dims=lv.dims, pdims=lv.pdims, Hp=lv.Hp,
             sharded=lv.sharded,
         ))
     return SlabHierarchy(
@@ -530,13 +567,22 @@ def _shard_map(kern, mesh, in_specs, out_specs):
     raise RuntimeError("shard_map unavailable")
 
 
-def cycle_lattice_sharded(h: SlabHierarchy, x, b, mesh: Mesh):
-    """One V-cycle on slab-sharded grids ([Wxp, Wyp], P('shards', None)).
-    Linear in (x, b); call with x = 0 for the preconditioner contract."""
+def _cycle_tag(cycle) -> str:
+    name = type(cycle).__name__.lower() if not isinstance(cycle, str) else cycle.lower()
+    if name not in ("v", "w", "f"):
+        raise ValueError(f"unknown cycle {cycle!r}")
+    return name
+
+
+def cycle_lattice_sharded(h: SlabHierarchy, x, b, mesh: Mesh, cycle="v"):
+    """One V/W/F cycle on slab-sharded grids ([Wxp, Wyp], P('shards', None)).
+    Linear in (x, b); call with x = 0 for the preconditioner contract.
+    Recursion policy follows multilevel.jl:200-212 exactly."""
     n_sh = h.n_sh
+    cyc = _cycle_tag(cycle)
 
     def kern(hh, xs, bs):
-        return _level_cycle(hh, 0, xs, bs, n_sh)
+        return _level_cycle(hh, 0, xs, bs, n_sh, cyc)
 
     if not h.levels[0].sharded or n_sh == 1:
         return jax.jit(kern)(h, x, b)
@@ -575,6 +621,7 @@ def solve_lattice_sharded(
     maxiter: int = 100,
     dtype="float32",
     log: bool = False,
+    cycle="v",
 ):
     """AMG-PCG on the slab-sharded lattice hierarchy: the shard_map cycle as
     preconditioner inside a jitted CG loop (dot products psum over the mesh
@@ -600,9 +647,11 @@ def solve_lattice_sharded(
     sh = NamedSharding(mesh, P(AXIS, None))
     bg = jax.device_put(jnp.asarray(bg), sh)
 
+    cyc = _cycle_tag(cycle)
+
     @jax.jit
     def pcg(h, bg, abstol):
-        M = lambda r: cycle_lattice_sharded(h, jnp.zeros_like(r), r, mesh)
+        M = lambda r: cycle_lattice_sharded(h, jnp.zeros_like(r), r, mesh, cyc)
         Amv = lambda v: matvec_lattice_sharded(h, v, mesh)
         x0 = jnp.zeros_like(bg)
         r0 = bg

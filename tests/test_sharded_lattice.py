@@ -79,10 +79,12 @@ def test_sharded_matvec_matches_host(ml, mesh, h8):
     assert err < 1e-5, err
 
 
-def test_sharded_cycle_matches_single_device(ml, mesh, h8):
-    """The slab-partitioned cycle computes the same V-cycle as the
+@pytest.mark.parametrize("cycle", [amg.V(), amg.W(), amg.F()])
+def test_sharded_cycle_matches_single_device(ml, mesh, h8, cycle):
+    """The slab-partitioned V/W/F cycle computes the same cycle as the
     single-device masked-multicolor engine (same color steps, same factored
-    transfers) — partitioning must not change the math."""
+    transfers, same multilevel.jl:200-212 recursion policy) — partitioning
+    must not change the math."""
     from algebraicmultigrid_tpu.models.device import (
         _one_iteration,
         build_device_hierarchy,
@@ -95,26 +97,57 @@ def test_sharded_cycle_matches_single_device(ml, mesh, h8):
     b = rng.standard_normal(n).astype(np.float32)
 
     bg = _grid(b, h)
-    xg = np.asarray(cycle_lattice_sharded(h, jnp.zeros_like(bg), bg, mesh))
+    xg = np.asarray(cycle_lattice_sharded(h, jnp.zeros_like(bg), bg, mesh, cycle))
     Wx, Wy = h.fine_dims
     x_slab = xg[:Wx, :Wy].reshape(n)
 
     bp = jnp.asarray(np.pad(b, (0, hd.fine_padded - n)))
     x_ref = np.asarray(
-        _one_iteration(hd, amg.V(), jnp.zeros_like(bp), bp)
+        _one_iteration(hd, cycle, jnp.zeros_like(bp), bp)
     )[:n]
     err = np.abs(x_slab - x_ref).max() / max(np.abs(x_ref).max(), 1e-30)
     assert err < 2e-4, err
 
-    # shard invariance (survey §5.2 debug contract): the n_sh = 1 hierarchy
-    # (no shard_map, no collectives) matches the 8-slab result up to f32
-    # reduction order — the partitioning doesn't change the smoother math
-    h1 = build_slab_hierarchy(ml, 1)
-    bg1 = _grid(b, h1)
-    mesh1 = jax.sharding.Mesh(np.array(jax.devices()[:1]), (AXIS,))
-    x1 = np.asarray(cycle_lattice_sharded(h1, jnp.zeros_like(bg1), bg1, mesh1))
-    err1 = np.abs(xg[:Wx, :Wy] - x1[:Wx, :Wy]).max() / max(np.abs(x1).max(), 1e-30)
-    assert err1 < 2e-5, err1
+    if isinstance(cycle, amg.V):
+        # shard invariance (survey §5.2 debug contract): the n_sh = 1
+        # hierarchy (no shard_map, no collectives) matches the 8-slab result
+        # up to f32 reduction order — partitioning doesn't change the math
+        h1 = build_slab_hierarchy(ml, 1)
+        bg1 = _grid(b, h1)
+        mesh1 = jax.sharding.Mesh(np.array(jax.devices()[:1]), (AXIS,))
+        x1 = np.asarray(cycle_lattice_sharded(h1, jnp.zeros_like(bg1), bg1, mesh1))
+        err1 = np.abs(xg[:Wx, :Wy] - x1[:Wx, :Wy]).max() / max(np.abs(x1).max(), 1e-30)
+        assert err1 < 2e-5, err1
+
+
+def test_sharded_general_smoothers(mesh):
+    """Jacobi pre + backward-SOR post — the full smoother protocol surface
+    (smoother.jl:10-23,92-99,173-180) on the slab tier, checked against the
+    single-device engine."""
+    from algebraicmultigrid_tpu.models.device import (
+        _one_iteration,
+        build_device_hierarchy,
+    )
+
+    pre = amg.Jacobi(0.6, iter=2)
+    post = amg.SOR(1.1, amg.BackwardSweep(), ordering="multicolor")
+    LP = amg.poisson((N, N), lattice=True)
+    ml2 = amg.structured_smoothed_aggregation(
+        LP, proxy=72, cut_rows=2000, min_proxy_dim=16,
+        aggregate=amg.StructuredAggregation(box=3),
+        presmoother=pre, postsmoother=post,
+    )
+    h = build_slab_hierarchy(ml2, 8)
+    hd = build_device_hierarchy(ml2, dtype=jnp.float32)
+    n = N * N
+    b = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+    bg = _grid(b, h)
+    xg = np.asarray(cycle_lattice_sharded(h, jnp.zeros_like(bg), bg, mesh))
+    Wx, Wy = h.fine_dims
+    bp = jnp.asarray(np.pad(b, (0, hd.fine_padded - n)))
+    x_ref = np.asarray(_one_iteration(hd, amg.V(), jnp.zeros_like(bp), bp))[:n]
+    err = np.abs(xg[:Wx, :Wy].reshape(n) - x_ref).max() / max(np.abs(x_ref).max(), 1e-30)
+    assert err < 2e-4, err
 
 
 def test_solve_lattice_sharded_converges(ml, mesh):
