@@ -214,12 +214,17 @@ def extract_spec_nd(
     max_offsets: int = 150,
     verify: bool = True,
     min_margin: int = 8,
-) -> Optional[LatticeSpecND]:
+    iter_candidates: bool = False,
+):
     """Extract the (offset, class^N) table of a proxy operator; None if the
     operator is not lattice-structured under these dims.  ``verify`` round-
     trips through :meth:`tocsr` and compares exactly (extraction can never
     silently corrupt an operator) — the same contract as the 2-D
-    ``extract_spec`` (models/lattice.py)."""
+    ``extract_spec`` (models/lattice.py).  With ``iter_candidates`` a
+    generator over ALL round-trip-exact (K, s) candidates is returned
+    (evidenced-interior ones first): different class layouts can be on-proxy
+    identical yet extrapolate differently, and only an external check — the
+    driver's second-proxy verification — can tell them apart."""
     row_dims = tuple(int(w) for w in row_dims)
     col_dims = tuple(int(w) for w in col_dims)
     N = len(row_dims)
@@ -266,6 +271,7 @@ def extract_spec_nd(
     K_list = [max(K, min_margin), K + 3, K + 6]
     if min_margin < 8:
         K_list += list(range(max(K, min_margin) - 1, min_margin - 1, -1))
+    cands, seen = [], set()
     for K_try in K_list:
         for s in (1, 2, 3, 4, 6):
             Ks, ss = [], []
@@ -282,8 +288,29 @@ def extract_spec_nd(
                     break
                 Ks.append(Ka)
                 ss.append(sa)
-            if not ok:
+            if not ok or (tuple(Ks), tuple(ss)) in seen:
                 continue
+            seen.add((tuple(Ks), tuple(ss)))
+            cands.append((Ks, ss))
+    # Interior classes holding ≥ 2 positions give EVIDENCED invariance (two
+    # same-class rows agreed); single-member classes are trivially
+    # consistent but extrapolate blindly (the degenerate 2K+s == W case
+    # most of all).  Try candidates with the fewest unevidenced interior
+    # classes first, so a correct table preempts a degenerate one when
+    # both pass the on-proxy checks (ties keep the original K/s order).
+    def evidence_key(c):
+        Ks, ss = c
+        any_single, interior = False, 0
+        for W, Ka, sa in zip(row_dims, Ks, ss):
+            if W <= 1:
+                continue
+            pops = class_populations(W, Ka, sa)[Ka : Ka + sa]
+            any_single |= bool((pops < 2).any())
+            interior += W - 2 * Ka
+        return (any_single, -interior)
+
+    def gen():
+        for Ks, ss in sorted(cands, key=evidence_key):
             spec = _try_extract_nd(
                 M, kidx, ri, offs, row_dims, col_dims, Ks, ss, bases
             )
@@ -296,7 +323,12 @@ def extract_spec_nd(
                 D = (R - M).tocoo()
                 if D.nnz and np.abs(D.data).max() != 0:
                     continue
-            return spec
+            yield spec
+
+    if iter_candidates:
+        return gen()
+    for spec in gen():
+        return spec
     return None
 
 
@@ -588,7 +620,7 @@ def _phase_ok_nd(Ks_ss, fdims, pdims) -> bool:
 # --------------------------------------------------------------------------
 
 
-def _proxy_dims_nd(full, target: int, k: int, depth: int = 4):
+def _proxy_dims_nd(full, target: int, k: int, depth: int = 3):
     mod = k ** depth
     out = []
     for W in full:
@@ -647,28 +679,83 @@ def structured_smoothed_aggregation_nd(
         )
 
     fdims = tuple(problem.spec.row_dims)
-    pdims = _proxy_dims_nd(fdims, proxy, k=box)
     n_full = int(np.prod(fdims))
-    if (
-        n_full <= 4 * cut_rows
-        or min(pdims) < min_proxy_dim
-        or any(f < 2 * p for f, p in zip(fdims, pdims) if f > proxy)
-    ):
+    if n_full <= 4 * cut_rows:
         return generic(problem, max_levels, fdims)
+    # candidate proxy sizes, smallest first; a failed walk (0 fast levels —
+    # proxy too small to evidence the deeper belts) retries with the next
+    pd_cands = []
+    for depth in (3, 4, 5):
+        pd = _proxy_dims_nd(fdims, proxy, k=box, depth=depth)
+        if pd not in pd_cands:
+            pd_cands.append(pd)
+    pd_cands.sort(key=lambda pd: int(np.prod(pd)))
+    out = None
+    for pdims in pd_cands:
+        out = _sa_nd_attempt(
+            problem, fdims, pdims, generic, box, cut_rows, min_proxy_dim,
+            max_levels, max_coarse, proxy, presmoother, postsmoother,
+        )
+        if out is not None:
+            return out
+    return generic(problem, max_levels, fdims)
+
+
+def _sa_nd_attempt(
+    problem, fdims, pdims, generic, box, cut_rows, min_proxy_dim,
+    max_levels, max_coarse, proxy, presmoother, postsmoother,
+):
+    """One proxy-size attempt of the N-D fast path; None → caller retries
+    with a bigger proxy or falls back to the generic pipeline."""
+    from ..utils.symmetry import HermitianSymmetry
+    from .multilevel import Level, MultiLevel
+
+    # second, larger proxy for EMPIRICAL invariance verification: tables
+    # extracted at p are instantiated at q and compared exactly against a
+    # real setup at q.  Two independent sizes agreeing establishes the
+    # translation invariance that the 2-D tier's conservative min_margin=8
+    # rule guards heuristically — and permits tiny-margin extraction of
+    # small coarse proxies (boundary-belt values frozen as "interior" at p
+    # would land on genuine interior positions of q and mismatch → cut).
+    qstep = box * box
+    qdims = tuple(p + qstep if f > p else p for f, p in zip(fdims, pdims))
+    if (
+        min(pdims) < min_proxy_dim
+        # the q-proxy verification is the safety net; the full grid only
+        # needs to strictly exceed it per coarsened axis
+        or any(f <= q for f, q in zip(fdims, qdims) if f > proxy)
+    ):
+        return None
 
     A_proxy = problem.spec.with_dims(pdims, pdims).tocsr()
     ml_p = generic(A_proxy, max_levels, pdims)
     B_per_level = getattr(ml_p, "_B_per_level", None) or []
+    A_q = problem.spec.with_dims(qdims, qdims).tocsr()
+    ml_q = generic(A_q, max_levels, qdims)
+    B_q = getattr(ml_q, "_B_per_level", None) or []
+
+    def q_match(spec_p, q_rows, q_cols, M_q) -> bool:
+        """Instantiate p-extracted tables at the q dims; exact-compare."""
+        try:
+            R = spec_p.with_dims(q_rows, q_cols).tocsr()
+        except AssertionError:
+            return False
+        M_q = sp.csr_matrix(M_q)
+        if R.shape != M_q.shape or R.nnz != M_q.nnz:
+            return False
+        D = (R - M_q).tocoo()
+        return D.nnz == 0 or np.abs(D.data).max() == 0
 
     fast_levels: List = []
     spec_A = problem.spec
-    cur_p, cur_f = pdims, fdims
+    cur_p, cur_q, cur_f = pdims, qdims, fdims
     lvl = 0
     while True:
         n_rows = int(np.prod(cur_f))
         remaining = max_levels - len(fast_levels)
         if (
             lvl >= len(ml_p.levels)
+            or lvl >= len(ml_q.levels)
             or n_rows <= cut_rows
             or n_rows <= max_coarse
             or remaining <= 1
@@ -676,36 +763,58 @@ def structured_smoothed_aggregation_nd(
         ):
             break
         cd = tuple((W + box - 1) // box for W in cur_p)
+        qd = tuple((W + box - 1) // box for W in cur_q)
         fd_c = tuple((W + box - 1) // box for W in cur_f)
-        if any((f % box) != (p % box) for f, p in zip(cur_f, cur_p)):
+        if any((f % box) != (p % box) or (q % box) != (p % box)
+               for f, p, q in zip(cur_f, cur_p, cur_q)):
             break
         P_p = sp.csr_matrix(ml_p.levels[lvl].P)
         if P_p.shape[1] != int(np.prod(cd)):
             break
-        sP = extract_spec_nd(P_p, cur_p, cd)
-        sR = extract_spec_nd(sp.csr_matrix(ml_p.levels[lvl].R), cd, cur_p)
-        sA = spec_A if lvl == 0 else extract_spec_nd(
-            sp.csr_matrix(ml_p.levels[lvl].A), cur_p, cur_p
+
+        def pick(Mp, rd, cdd, Mq, q_rows, q_cols, full_rows):
+            """First extraction candidate whose phases fit the full AND
+            verification grids and whose q-instantiation matches exactly —
+            on-proxy-identical class layouts extrapolate differently, so
+            the q-proxy is the selector, not just a gate."""
+            for s in extract_spec_nd(
+                sp.csr_matrix(Mp), rd, cdd, min_margin=1, iter_candidates=True
+            ):
+                if not (
+                    _phase_ok_nd(s.ss, full_rows, rd)
+                    and _phase_ok_nd(s.ss, q_rows, rd)
+                ):
+                    continue
+                if q_match(s, q_rows, q_cols, Mq):
+                    return s
+            return None
+
+        sP = pick(ml_p.levels[lvl].P, cur_p, cd, ml_q.levels[lvl].P, cur_q, qd, cur_f)
+        sR = pick(ml_p.levels[lvl].R, cd, cur_p, ml_q.levels[lvl].R, qd, cur_q, fd_c)
+        sA = spec_A if lvl == 0 else pick(
+            ml_p.levels[lvl].A, cur_p, cur_p, ml_q.levels[lvl].A, cur_q, cur_q, cur_f
         )
         A_next_p = (
-            sp.csr_matrix(ml_p.levels[lvl + 1].A)
+            ml_p.levels[lvl + 1].A
             if lvl + 1 < len(ml_p.levels)
-            else sp.csr_matrix(ml_p.final_A)
+            else ml_p.final_A
         )
-        sA_next = extract_spec_nd(A_next_p, cd, cd)
+        A_next_q = (
+            ml_q.levels[lvl + 1].A
+            if lvl + 1 < len(ml_q.levels)
+            else ml_q.final_A
+        )
+        sA_next = pick(A_next_p, cd, cd, A_next_q, qd, qd, fd_c)
         if sP is None or sR is None or sA is None or sA_next is None:
             break
-        if not (
-            _phase_ok_nd(sA.ss, cur_f, cur_p)
-            and _phase_ok_nd(sP.ss, cur_f, cur_p)
-            and _phase_ok_nd(sR.ss, fd_c, cd)
-            and _phase_ok_nd(sA_next.ss, fd_c, cd)
-        ):
-            break
-        if lvl + 1 >= len(B_per_level):
+        if lvl + 1 >= len(B_per_level) or lvl + 1 >= len(B_q):
             break
         gotB = extract_grid_vector_nd(B_per_level[lvl + 1], cd)
-        if gotB is None or not _phase_ok_nd(gotB[1], fd_c, cd):
+        if gotB is None or not _phase_ok_nd(gotB[1], fd_c, cd) or not _phase_ok_nd(gotB[1], qd, cd):
+            break
+        # B verification at q (exact)
+        Bq_pred = instantiate_grid_vector_nd(gotB[0], gotB[1], qd)
+        if not np.array_equal(Bq_pred, np.asarray(B_q[lvl + 1])):
             break
 
         A_f = problem if lvl == 0 else LatticeMatrixND(spec_A.with_dims(cur_f, cur_f))
@@ -719,14 +828,16 @@ def structured_smoothed_aggregation_nd(
         )
         fast_levels.append(lvl_f)
         spec_A = sA_next
-        cur_p, cur_f = cd, fd_c
+        cur_p, cur_q, cur_f = cd, qd, fd_c
         lvl += 1
 
     if not fast_levels:
-        return generic(problem, max_levels, fdims)
+        return None  # caller retries with a bigger proxy, then generic
 
     n_cut = len(fast_levels)
     gotB = extract_grid_vector_nd(B_per_level[n_cut], cur_p)
+    if gotB is None:
+        return None
     B_cut_full = instantiate_grid_vector_nd(gotB[0], gotB[1], cur_f)
     A_cut = LatticeMatrixND(spec_A.with_dims(cur_f, cur_f))
     tail = generic(A_cut, max_levels - n_cut, cur_f, B_cut_full)

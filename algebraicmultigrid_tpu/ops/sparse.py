@@ -46,9 +46,13 @@ def round_up(x: int, m: int) -> int:
 
 
 def as_csr(A: Any) -> sp.csr_matrix:
-    """Coerce any array-like / scipy matrix to canonical CSR (sorted, no dupes)."""
+    """Coerce any array-like / scipy / lattice matrix to canonical CSR
+    (sorted, no dupes).  Symbolic lattice operators materialise here (the
+    host tier's prerogative; the device tier lowers them without CSR)."""
     if sp.issparse(A):
         M = A.tocsr()
+    elif hasattr(A, "tocsr"):
+        M = sp.csr_matrix(A.tocsr())
     else:
         M = sp.csr_matrix(np.asarray(A))
     M.sum_duplicates()
@@ -60,6 +64,8 @@ def as_csc(A: Any) -> sp.csc_matrix:
     """Coerce to canonical CSC (the reference's native layout)."""
     if sp.issparse(A):
         M = A.tocsc()
+    elif hasattr(A, "tocsc"):
+        M = sp.csc_matrix(A.tocsc())
     else:
         M = sp.csc_matrix(np.asarray(A))
     M.sum_duplicates()

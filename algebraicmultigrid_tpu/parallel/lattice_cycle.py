@@ -635,7 +635,19 @@ def solve_lattice_sharded(
 
     key = ("slab", jnp.dtype(dtype).name, n_sh)
     if key not in ml._device_cache:
-        ml._device_cache[key] = build_slab_hierarchy(ml, n_sh, dtype=dtype)
+        h = build_slab_hierarchy(ml, n_sh, dtype=dtype)
+        if jax.process_count() > 1:
+            # multi-host: every process holds identical host-side arrays;
+            # commit them onto the GLOBAL mesh with the cycle's shardings so
+            # the jitted shard_map sees global arrays (SURVEY §4 end note)
+            h = jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(
+                    np.asarray(a), NamedSharding(mesh, s)
+                ),
+                h,
+                _hier_specs(h),
+            )
+        ml._device_cache[key] = h
     h = ml._device_cache[key]
 
     Wx, Wy = h.fine_dims
@@ -645,7 +657,7 @@ def solve_lattice_sharded(
     bg = np.zeros((Wxp, Wyp), dtype=dt)
     bg[:Wx, :Wy] = np.asarray(b, dtype=dt).reshape(Wx, Wy)
     sh = NamedSharding(mesh, P(AXIS, None))
-    bg = jax.device_put(jnp.asarray(bg), sh)
+    bg = jax.device_put(bg, sh)
 
     cyc = _cycle_tag(cycle)
 
@@ -680,7 +692,13 @@ def solve_lattice_sharded(
 
     normb = float(np.linalg.norm(np.asarray(b)))
     x, it, nr = pcg(h, bg, tol * normb)
-    xout = np.asarray(x)[:Wx, :Wy].reshape(n)
+    if jax.process_count() > 1 and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x_np = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    else:
+        x_np = np.asarray(x)
+    xout = x_np[:Wx, :Wy].reshape(n)
     if log:
         return xout, int(it), float(nr) / max(normb, 1e-300)
     return xout
