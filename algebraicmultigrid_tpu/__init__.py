@@ -52,6 +52,7 @@ from .models.multilevel import (
 )
 from .models.prolongation_smooth import JacobiProlongation
 from .models.splitting import RS, rs_cf_splitting
+from .models.parallel_setup import LabelPropAggregation, PMIS
 from .models.structured import StructuredAggregation, StructuredRS
 from .models.strength import Classical, SymmetricStrength
 from .models.preconditioner import Preconditioner, aspreconditioner
@@ -82,6 +83,7 @@ __all__ = [
     # strength / splitting / aggregation
     "Classical", "SymmetricStrength", "RS", "StructuredRS", "rs_cf_splitting",
     "StandardAggregation", "StructuredAggregation", "fit_candidates",
+    "PMIS", "LabelPropAggregation",
     "JacobiProlongation",
     "direct_interpolation",
     # hierarchy
