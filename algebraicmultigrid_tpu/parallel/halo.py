@@ -46,7 +46,17 @@ def lat2d_spmv_halo(A: Lat2D, x, mesh: Mesh, axis: str = "shards"):
     ``A`` must be square (base (1,1)) with its data slab-sharded on the row
     grid; ``x`` a flat sharded vector of length Wx·Wy (divisible by the mesh
     size along the x grid axis).
+
+    ``AMG_ASYNC_HALO=1`` selects the Pallas ``make_async_remote_copy``
+    compute-overlapped variant (parallel/async_halo.py) instead of the
+    ppermute collective.
     """
+    import os
+
+    if os.environ.get("AMG_ASYNC_HALO") == "1":
+        from .async_halo import lat2d_spmv_halo_async
+
+        return lat2d_spmv_halo_async(A, x, mesh, axis)
     Wx, Wy = A.row_dims
     assert A.base_x == (1, 1) and A.base_y == (1, 1), "square stencils only"
     n_sh = mesh.shape[axis]
