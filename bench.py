@@ -209,6 +209,83 @@ def main():
         file=sys.stderr,
     )
 
+    if os.environ.get("AMG_BENCH_EXTRA") == "1":
+        _extra_benches(jax, jnp, amg)
+
+
+def _extra_benches(jax, jnp, amg):
+    """Opt-in round-5 capability benches (unstructured BSG tier, 3-D
+    lattice tier).  Not part of the driver headline (their cold compiles
+    through the tunnel dominate); run with AMG_BENCH_EXTRA=1 and see
+    PERF.md §round-5 for recorded numbers."""
+    import scipy.sparse as sp
+
+    from algebraicmultigrid_tpu.models.device import cg_device
+    from algebraicmultigrid_tpu.ops.bsg import bsg_from_csr, bsg_spmv, rcm_permutation
+
+    # unstructured: scrambled Poisson through the BSG gather tier
+    Nu = int(os.environ.get("AMG_BENCH_UNSTRUCT_N", 1024))
+    A = sp.csr_matrix(amg.poisson((Nu, Nu)))
+    rng = np.random.default_rng(1)
+    p = rng.permutation(A.shape[0])
+    Ap = A[p][:, p].tocsr()
+    pi = rcm_permutation(Ap)
+    Ar = Ap[pi][:, pi].tocsr()
+    B = bsg_from_csr(Ar)
+    x = jnp.asarray(
+        rng.standard_normal(max(B.rows_padded, B.cols_padded)).astype(np.float32)
+    )
+    R = 200
+
+    @jax.jit
+    def chain(v):
+        return jax.lax.fori_loop(0, R, lambda i, u: bsg_spmv(B, u) * 1e-3, v)
+
+    float(chain(x)[0])
+    t0 = time.perf_counter()
+    float(chain(x)[0])
+    t = (time.perf_counter() - t0 - 0.024) / R
+    print(
+        json.dumps(
+            {
+                "aux_extra": {
+                    "unstructured_spmv_gnnz_s": round(B.nnz / t / 1e9, 2),
+                    "unstructured_n": A.shape[0],
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+    # 3-D: structured N-D tier on poisson(N3^3)
+    N3 = int(os.environ.get("AMG_BENCH_3D_N", 128))
+    prob = amg.poisson((N3, N3, N3), lattice=True)
+    ml3 = amg.structured_smoothed_aggregation_nd(prob, proxy=47, cut_rows=20000)
+    b3 = (prob @ np.ones(N3 ** 3)).astype(np.float32)
+    t0 = time.time()
+    x3, iters, _ = cg_device(ml3, b3, tol=1e-6, maxiter=60, log=True)
+    cold = time.time() - t0
+    t0 = time.time()
+    x3, iters, _ = cg_device(ml3, b3, tol=1e-6, maxiter=60, log=True)
+    warm = time.time() - t0
+    relres = float(
+        np.linalg.norm(prob @ x3.astype(np.float64) - b3) / np.linalg.norm(b3)
+    )
+    print(
+        json.dumps(
+            {
+                "aux_extra": {
+                    "poisson3d_n": N3 ** 3,
+                    "poisson3d_pcg_iters": int(iters),
+                    "poisson3d_relres": relres,
+                    "poisson3d_solve_warm_s": round(warm, 2),
+                    "poisson3d_solve_cold_s": round(cold, 1),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
 
 if __name__ == "__main__":
     main()
