@@ -76,9 +76,11 @@ class BSG:
     data: jax.Array  # [T, K, 8, 128] slot coefficients (0 on padding)
     off: jax.Array   # [T, K, 8, 128] int32 window offsets (0 on padding)
     m0: jax.Array    # [T] int32 first x-block of each tile's window
+    qlo: jax.Array   # [T, K] int32 first window block each slot touches
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     ws: int = dataclasses.field(metadata=dict(static=True))
+    qb: int = dataclasses.field(metadata=dict(static=True))  # blocks/slot sweep
     rows_padded: int = dataclasses.field(metadata=dict(static=True))
     cols_padded: int = dataclasses.field(metadata=dict(static=True))
 
@@ -151,13 +153,29 @@ def bsg_from_csr(
     data[tile_of, slot, u_of, j_of] = M.data.astype(data.dtype)
     off[tile_of, slot, u_of, j_of] = cols - m0[tile_of] * LANES
 
+    # per-(tile, slot) block range: CSR keeps row entries column-sorted, so
+    # a slot's columns cluster tightly across a tile's rows — the kernel
+    # sweeps only [qlo, qlo+qb) blocks per slot instead of the whole window
+    ts_key = tile_of * K + slot
+    qmin = np.full(T * K, np.iinfo(np.int64).max, dtype=np.int64)
+    qmax = np.full(T * K, -1, dtype=np.int64)
+    s_blk = cols // LANES - m0[tile_of]
+    np.minimum.at(qmin, ts_key, s_blk)
+    np.maximum.at(qmax, ts_key, s_blk)
+    empty_ts = qmax < 0
+    qmin[empty_ts], qmax[empty_ts] = 0, 0
+    qb = int((qmax - qmin + 1).max(initial=1))
+    qlo = np.minimum(qmin, ws - qb).astype(np.int32).reshape(T, K)
+
     return BSG(
         data=jnp.asarray(data),
         off=jnp.asarray(off),
         m0=jnp.asarray(m0.astype(np.int32)),
+        qlo=jnp.asarray(qlo),
         shape=(n_rows, n_cols),
         nnz=int(M.nnz),
         ws=ws,
+        qb=qb,
         rows_padded=max(round_up(n_rows, max(row_pad, 1)), row_pad),
         cols_padded=round_up(max(n_cols, 1), LANES),
     )
@@ -168,40 +186,40 @@ def bsg_from_csr(
 # --------------------------------------------------------------------------
 
 
-def _bsg_kernel(m0_ref, off_ref, dat_ref, win_ref, o_ref, *, ws, K):
+def _bsg_kernel(m0_ref, qlo_ref, off_ref, dat_ref, win_ref, o_ref, *, ws, K, qb):
     del m0_ref  # consumed by the window index map
-    xw = win_ref[...]                       # [ws, 128]
-    if ws * K <= 768:
-        # fully unrolled: per slot, sweep the window blocks
-        y = jnp.zeros((8, LANES), dtype=o_ref.dtype)
+    t = pl.program_id(0)
+    y = jnp.zeros((8, LANES), dtype=o_ref.dtype)
+    if qb * K <= 768:
+        # fully unrolled: per slot, sweep only its [qlo, qlo+qb) blocks
         for k in range(K):
             ok = off_ref[0, k]
             q = jax.lax.shift_right_logical(ok, jnp.int32(7))
             m = jax.lax.bitwise_and(ok, jnp.int32(127))
-            gth = jnp.zeros((8, LANES), dtype=xw.dtype)
-            for u in range(ws):
-                row = jnp.broadcast_to(xw[u : u + 1, :], (8, LANES))
+            ql = qlo_ref[t, k]
+            gth = jnp.zeros((8, LANES), dtype=o_ref.dtype)
+            for u in range(qb):
+                row = jnp.broadcast_to(win_ref[pl.ds(ql + u, 1), :], (8, LANES))
                 gu = jnp.take_along_axis(row, m, axis=1)
-                gth = jnp.where(q == u, gu, gth)
+                gth = jnp.where(q == ql + u, gu, gth)
             y = y + dat_ref[0, k] * gth
         o_ref[0] = y
     else:
-        # wide windows: loop blocks once (broadcast hoisted across slots) —
-        # keeps compile size bounded for ws up to 512
-        qs = [jax.lax.shift_right_logical(off_ref[0, k], jnp.int32(7)) for k in range(K)]
-        ms = [jax.lax.bitwise_and(off_ref[0, k], jnp.int32(127)) for k in range(K)]
-        dats = [dat_ref[0, k] for k in range(K)]
+        # very wide slot ranges: bound compile size with a fori sweep
+        for k in range(K):
+            ok = off_ref[0, k]
+            q = jax.lax.shift_right_logical(ok, jnp.int32(7))
+            m = jax.lax.bitwise_and(ok, jnp.int32(127))
+            ql = qlo_ref[t, k]
+            dat = dat_ref[0, k]
 
-        def body(u, y):
-            row = jnp.broadcast_to(win_ref[pl.ds(u, 1), :], (8, LANES))
-            for k in range(K):
-                gu = jnp.take_along_axis(row, ms[k], axis=1)
-                y = y + jnp.where(qs[k] == u, dats[k] * gu, jnp.zeros_like(gu))
-            return y
+            def body(u, acc, q=q, m=m, ql=ql, dat=dat):
+                row = jnp.broadcast_to(win_ref[pl.ds(ql + u, 1), :], (8, LANES))
+                gu = jnp.take_along_axis(row, m, axis=1)
+                return acc + jnp.where(q == ql + u, dat * gu, jnp.zeros_like(gu))
 
-        o_ref[0] = jax.lax.fori_loop(
-            0, ws, body, jnp.zeros((8, LANES), dtype=o_ref.dtype)
-        )
+            y = jax.lax.fori_loop(0, qb, body, y)
+        o_ref[0] = y
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -210,26 +228,26 @@ def _bsg_spmv_call(B: BSG, x2d, *, interpret=False):
 
     T, K, ws = B.n_tiles, B.width, B.ws
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, K, 8, LANES), lambda t, m0: (t, 0, 0, 0)),
-            pl.BlockSpec((1, K, 8, LANES), lambda t, m0: (t, 0, 0, 0)),
+            pl.BlockSpec((1, K, 8, LANES), lambda t, m0, ql: (t, 0, 0, 0)),
+            pl.BlockSpec((1, K, 8, LANES), lambda t, m0, ql: (t, 0, 0, 0)),
             # the x window: element-offset block indexed by the prefetched m0
             # (always a multiple of 8 blocks — the builder aligns it)
             pl.BlockSpec(
                 (pl.Element(ws), pl.Element(LANES)),
-                lambda t, m0: (pl.multiple_of(m0[t], 8), 0),
+                lambda t, m0, ql: (pl.multiple_of(m0[t], 8), 0),
             ),
         ],
-        out_specs=pl.BlockSpec((1, 8, LANES), lambda t, m0: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda t, m0, ql: (t, 0, 0)),
     )
     return pl.pallas_call(
-        functools.partial(_bsg_kernel, ws=ws, K=K),
+        functools.partial(_bsg_kernel, ws=ws, K=K, qb=B.qb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 8, LANES), B.data.dtype),
         interpret=interpret,
-    )(B.m0, B.off, B.data, x2d)
+    )(B.m0, B.qlo, B.off, B.data, x2d)
 
 
 def bsg_spmv(B: BSG, x: jax.Array, interpret: Optional[bool] = None) -> jax.Array:
