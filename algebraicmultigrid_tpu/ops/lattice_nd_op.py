@@ -37,19 +37,34 @@ class LatND:
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     rows_padded: int = dataclasses.field(metadata=dict(static=True))
+    # working dtype of the level's vectors; ``data`` may be stored narrower
+    # (bf16 coefficient planes under AMG_COEF_DTYPE)
+    wdtype: str = dataclasses.field(default="float32", metadata=dict(static=True))
 
     @property
     def dtype(self):
-        return self.data.dtype
+        return jnp.dtype(self.wdtype)
 
 
 def latnd_from_spec(spec, dtype, row_pad: int = 8) -> LatND:
     """Instantiate a device LatND from a host LatticeSpecND (O(n) block
     fills on host; device-side expansion can come later if upload cost
-    shows up — the planes are bf16/f32-castable like the 2-D tier)."""
+    shows up).  With ``AMG_COEF_DTYPE=bfloat16`` (the 2-D fused-leg
+    convention) and an f32 working dtype the coefficient planes are stored
+    bf16 — the stencil apply is HBM-bound on plane traffic, and the f32
+    accumulate keeps the smoother a valid preconditioner (the f64 outer
+    refinement / PCG absorbs the coefficient rounding)."""
+    import os
+
     n_r = int(np.prod(spec.row_dims))
+    store = jnp.dtype(dtype)
+    if (
+        os.environ.get("AMG_COEF_DTYPE", "") == "bfloat16"
+        and store == jnp.float32
+    ):
+        store = jnp.dtype(jnp.bfloat16)
     comp = np.float32 if jnp.dtype(dtype).itemsize <= 4 else np.dtype(jnp.dtype(dtype).name)
-    planes = spec.expand_all(dtype=comp).astype(jnp.dtype(dtype).name)
+    planes = spec.expand_all(dtype=comp).astype(store.name)
     return LatND(
         data=jnp.asarray(planes),
         offsets=tuple(tuple(int(v) for v in d) for d in spec.offsets),
@@ -59,6 +74,7 @@ def latnd_from_spec(spec, dtype, row_pad: int = 8) -> LatND:
         shape=(n_r, int(np.prod(spec.col_dims))),
         nnz=spec.nnz(),
         rows_padded=max(round_up(n_r, row_pad), row_pad),
+        wdtype=jnp.dtype(dtype).name,
     )
 
 

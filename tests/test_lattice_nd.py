@@ -133,3 +133,19 @@ def test_nd_device_solve(nd_pair):
     r = np.linalg.norm(prob @ x.astype(np.float64) - b) / np.linalg.norm(b)
     assert r <= 1e-5, (r, iters)
     assert iters <= 30
+
+
+def test_latnd_bf16_coefficient_planes(monkeypatch):
+    # AMG_COEF_DTYPE=bfloat16 stores the planes narrow; vectors stay f32
+    from algebraicmultigrid_tpu.ops.lattice_nd_op import latnd_from_spec, latnd_spmv
+
+    P = LatticeProblemND(_poisson_stencil(3), (12, 10, 8))
+    A32 = latnd_from_spec(P.spec, jnp.float32)
+    monkeypatch.setenv("AMG_COEF_DTYPE", "bfloat16")
+    A16 = latnd_from_spec(P.spec, jnp.float32)
+    assert A16.data.dtype == jnp.bfloat16 and A16.dtype == jnp.float32
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(P.shape[0]).astype(np.float32))
+    y32 = np.asarray(latnd_spmv(A32, x))
+    y16 = np.asarray(latnd_spmv(A16, x))
+    assert y16.dtype == np.float32
+    np.testing.assert_allclose(y16, y32, rtol=1e-2, atol=1e-2 * np.abs(y32).max())
