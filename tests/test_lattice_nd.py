@@ -149,3 +149,17 @@ def test_latnd_bf16_coefficient_planes(monkeypatch):
     y16 = np.asarray(latnd_spmv(A16, x))
     assert y16.dtype == np.float32
     np.testing.assert_allclose(y16, y32, rtol=1e-2, atol=1e-2 * np.abs(y32).max())
+
+
+@pytest.mark.parametrize("cycle", ["w", "f"])
+def test_nd_device_wf_cycles(nd_pair, cycle):
+    # the device engine's W/F recursion applies unchanged to LatND levels
+    dims, prob, ml_fast, _ = nd_pair
+    from algebraicmultigrid_tpu.models.device import solve_device
+
+    n = int(np.prod(dims))
+    b = prob @ np.ones(n)
+    cyc = amg.W() if cycle == "w" else amg.F()
+    x, res = solve_device(ml_fast, b, cyc, reltol=1e-6, log=True, dtype=jnp.float32)
+    assert res[-1] <= 1e-6 * np.linalg.norm(b) * 1.01
+    assert np.linalg.norm(prob @ x.astype(np.float64) - b) <= 1e-4 * np.linalg.norm(b)
