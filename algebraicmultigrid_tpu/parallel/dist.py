@@ -92,6 +92,24 @@ def _shard_ell(E, mesh: Mesh, *, replicate: bool = False):
         else:
             s = NamedSharding(mesh, P(None, "shards", None))
         return dataclasses.replace(E, data=jax.device_put(E.data, s))
+    from ..ops.lattice_nd_op import LatND
+
+    if isinstance(E, LatND):
+        # [n_off, W0, W1, …] → shard the leading grid axis
+        if replicate or E.row_dims[0] % mesh.devices.size:
+            s = rep
+        else:
+            s = NamedSharding(
+                mesh, P(None, "shards", *([None] * (len(E.row_dims) - 1)))
+            )
+        return dataclasses.replace(E, data=jax.device_put(E.data, s))
+    from ..ops.bsg import BSG
+
+    if isinstance(E, BSG):
+        # the BSG pallas kernel is not SPMD-partitionable; keep it
+        # replicated (unstructured fine levels wanting scale should use the
+        # O(surface) slab tier or a future shard_map'ed BSG)
+        return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), E)
     return E
 
 
@@ -164,7 +182,14 @@ def shard_hierarchy(
         qr_r=jax.device_put(h.coarse.qr_r, rep),
     )
     final_A = _shard_ell(h.final_A, mesh, replicate=True)
-    return DeviceHierarchy(levels=tuple(levels), coarse=coarse, final_A=final_A)
+    # the fine-level RCM basis (unstructured/BSG hierarchies) rides along
+    # replicated — dropping it would silently unpermute entry/exit
+    perm0 = None if h.perm0 is None else jax.device_put(h.perm0, rep)
+    iperm0 = None if h.iperm0 is None else jax.device_put(h.iperm0, rep)
+    return DeviceHierarchy(
+        levels=tuple(levels), coarse=coarse, final_A=final_A,
+        perm0=perm0, iperm0=iperm0,
+    )
 
 
 def build_sharded_hierarchy(

@@ -108,3 +108,21 @@ def test_elasticity_device_solve(lin_elastic_2d):
     ml = amg.smoothed_aggregation(A, B=B)
     x, iters, normr = cg_device(ml, b, tol=1e-6, maxiter=400, log=True)
     assert np.linalg.norm(A @ x.astype(np.float64) - b) <= 1e-5 * np.linalg.norm(b)
+
+
+@pytest.mark.multichip
+def test_unstructured_sharded_solve():
+    # the row-shard tier must carry the RCM basis through entry/exit
+    # (BSG levels ride replicated; transfers/ELL shard) — result must match
+    # the single-device engine's convergence on the ORIGINAL ordering
+    from algebraicmultigrid_tpu.parallel.dist import make_row_mesh, solve_sharded
+
+    A, _ = _scrambled_poisson(96, 96, seed=2)
+    ml = amg.smoothed_aggregation(A)
+    n = A.shape[0]
+    b = A @ np.ones(n)
+    mesh = make_row_mesh(8)
+    x_sh, iters, normres = solve_sharded(ml, b, amg.V(), mesh=mesh, reltol=1e-5)
+    assert normres <= 1e-5 * np.linalg.norm(b) * 1.01
+    r = np.linalg.norm(A @ x_sh.astype(np.float64) - b) / np.linalg.norm(b)
+    assert r <= 5e-5, r
