@@ -309,10 +309,15 @@ def _smooth_scan_gs(cache: ScanGSCache, A: ELL, x, b):
 def _apply_smoother(cache, A, x, b):
     from ..ops.blockgs import BlockGSCache, smooth_blockgs
     from ..ops.pallas.gs_kernel import PallasGSCache, smooth_pallas_gs
+    from ..ops.pallas.sweep3d_kernel import Sweep3DCache, smooth_sweep3d
 
     if isinstance(cache, PallasGSCache):
         if x.ndim == 1:
             return smooth_pallas_gs(cache, x, b)
+        cache = cache.fallback  # multi-RHS → masked sweep
+    if isinstance(cache, Sweep3DCache):
+        if x.ndim == 1:
+            return smooth_sweep3d(cache, x, b)
         cache = cache.fallback  # multi-RHS → masked sweep
     if isinstance(cache, JacobiCache):
         return _smooth_jacobi(cache, A, x, b)
@@ -405,7 +410,7 @@ def _build_lattice_nd_smoother_cache(config, A_lnd, A_dev, dtype):
         color_of[:n] = np.where(active, colors, n_colors)
         dinv = np.zeros(rows_padded, dtype=dtype)
         dinv[:n] = np.where(active, 1.0 / np.where(active, diag, 1), 0.0)
-        return MaskedMulticolorCache(
+        masked = MaskedMulticolorCache(
             color_of=jnp.asarray(color_of),
             dinv=jnp.asarray(dinv),
             n_colors=n_colors,
@@ -414,6 +419,29 @@ def _build_lattice_nd_smoother_cache(config, A_lnd, A_dev, dtype):
             forward=fwd,
             backward=bwd,
         )
+        # fused Pallas sweep: all color steps in one pallas_call with the
+        # planes VMEM-resident across steps (ops/pallas/sweep3d_kernel.py).
+        # OPT-IN (AMG_SWEEP3D=1): semantics are pinned vs the masked sweep
+        # under the interpreter, but this environment's remote Mosaic
+        # compile helper crashes (subprocess exit 1, no diagnostics) on the
+        # kernel's 3-D scratch forms — probes in scratch/real_mimic.py,
+        # scratch/roll_combo2.py narrow it to large-buffer roll/3-D-op
+        # graphs.  The masked multicolor sweep stays the TPU default.
+        if os.environ.get("AMG_SWEEP3D") == "1" and not (diag == 0).any():
+            on_tpu = jax.default_backend() == "tpu"
+            from ..ops.pallas.sweep3d_kernel import build_sweep3d_cache
+
+            coef = (
+                jnp.bfloat16
+                if os.environ.get("AMG_COEF_DTYPE", "") == "bfloat16"
+                and jnp.dtype(dtype) == jnp.float32
+                else None
+            )
+            return build_sweep3d_cache(
+                spec, rows_padded, dtype, omega, config.iter, fwd, bwd,
+                interpret=not on_tpu, fallback=masked, coef_dtype=coef,
+            )
+        return masked
     return None
 
 
