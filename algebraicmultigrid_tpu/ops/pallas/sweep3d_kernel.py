@@ -211,7 +211,7 @@ def _sweep3d_call(cache: Sweep3DCache, xf, bf):
             n_chunks=len(cache.planes),
         ),
         grid=(gx,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=pl.BlockSpec((tx, ny, nz), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nxp, ny, nz), xf.dtype),
         scratch_shapes=[
