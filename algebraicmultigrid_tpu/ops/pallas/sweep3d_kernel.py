@@ -169,8 +169,14 @@ def _sweep3d_kernel(*refs, offsets, steps, omega, ny, nz, tx, H, n_chunks):
     col = cf_ref[...]
     planes = [pl_refs[k][...].astype(X.dtype) for k in range(len(offsets))]
     mx = max(abs(d[0]) for d in offsets)
-
-    for c in steps:
+    # fori_loop over the color steps: one step's graph (a handful of
+    # slices/rolls) compiles fine, while fully unrolling all steps hangs
+    # this environment's remote Mosaic compiler (scratch/mimic3d_full.py)
+    def step(i, X):
+        # steps are static ints; select without capturing a constant array
+        c = jnp.int32(steps[0])
+        for j in range(1, len(steps)):
+            c = jnp.where(i == j, jnp.int32(steps[j]), c)
         Xp = jnp.pad(X, ((mx, mx), (0, 0), (0, 0)))
         rsum = None
         for k, (dx, dy, dz) in enumerate(offsets):
@@ -182,7 +188,9 @@ def _sweep3d_kernel(*refs, offsets, steps, omega, ny, nz, tx, H, n_chunks):
             term = planes[k] * g
             rsum = term if rsum is None else rsum + term
         upd = X + omega * D * (B - rsum)
-        X = jnp.where(col == c, upd, X)
+        return jnp.where(col == c, upd, X)
+
+    X = jax.lax.fori_loop(0, len(steps), step, X)
     o_ref[...] = X[H : H + tx]
 
 
